@@ -1,0 +1,68 @@
+"""Benchmark: Sintel-resolution (448x1024) flow inference pairs/sec/chip on
+the flagship FlowNetCV (PWC) model, bf16 compute.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+
+The driver-set north star is >=5000 pairs/sec/chip (BASELINE.json); the
+reference publishes no numbers, so vs_baseline is value/5000.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ocflow_tpu.models import FlowNetCV
+
+    on_tpu = jax.default_backend() == "tpu"
+    h, w = (448, 1024) if on_tpu else (64, 128)  # CPU fallback for smoke runs
+    batch = 8 if on_tpu else 2
+
+    net = FlowNetCV()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, 6)), jnp.bfloat16)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6), jnp.bfloat16))
+    variables = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), variables)
+
+    iters = 20 if on_tpu else 2
+
+    # N forwards inside ONE jit call: the axon relay's block_until_ready is
+    # not a true sync and per-call round-trip latency (~27 ms) would swamp
+    # the measurement; a scalar fetch of the summed outputs forces a real
+    # device sync exactly once.
+    @jax.jit
+    def forward_n(variables, x):
+        def body(acc, _):
+            flow, _ = net.apply(variables, x)
+            return acc + jnp.sum(flow), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=iters)
+        return acc
+
+    float(forward_n(variables, x))  # compile + warmup (value fetch = sync)
+
+    t0 = time.perf_counter()
+    float(forward_n(variables, x))
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * iters / dt
+    target = 5000.0
+    result = {
+        "metric": f"flownetcv_{h}x{w}_bf16_inference",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / target, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

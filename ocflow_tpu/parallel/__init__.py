@@ -1,1 +1,10 @@
-"""(populated incrementally)"""
+"""SPMD parallelism: meshes, shardings, distributed init."""
+
+from ocflow_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]

@@ -1,0 +1,214 @@
+"""Jitted train/eval step factories — the TPU-native replacement for the
+reference's LightningModule ``training_step`` zoo (SURVEY.md §2.2).
+
+Each factory closes over a network + hyperparameters and returns pure
+functions ``train_step(state, batch) -> (state, metrics)`` /
+``eval_step(state, batch) -> metrics``. Everything inside is jit/pjit-safe:
+static shapes, no data-dependent control flow, BatchNorm statistics threaded
+functionally.
+
+Batches are dicts of NHWC arrays:
+  ``images`` [B, H, W, 6]  (frames 1|2 concatenated on channels, in [-1, 1])
+  ``flow``   [B, H, W, 2]  (optional ground truth, metric-only when unsupervised)
+  ``occ``    [B, H, W, 1]  (optional ground truth occlusion; 1 = occluded)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ocflow_tpu import losses
+from ocflow_tpu.ops import occlusion_from_back_flow, resize_bilinear, warp
+from ocflow_tpu.train.state import TrainState
+
+
+def _apply_flow_net(state: TrainState, params, batch_stats, x, train: bool):
+    """Run a flow net, normalizing the (flow, flow_l2 | flow) signatures and
+    threading BatchNorm stats. Returns (flow_full, flow_l2_or_None, new_stats)."""
+    variables = {"params": params}
+    has_bn = bool(batch_stats)
+    if has_bn:
+        variables["batch_stats"] = batch_stats
+    if train and has_bn:
+        out, updates = state.apply_fn(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        new_stats = updates["batch_stats"]
+    else:
+        out = state.apply_fn(variables, x, train=False)
+        new_stats = batch_stats
+    if isinstance(out, tuple):
+        flow_full, flow_l2 = out
+    else:
+        flow_full, flow_l2 = out, None
+    return flow_full, flow_l2, new_stats
+
+
+# ---------------------------------------------------------------------------
+# Supervised regimes (reference flow_model.py / occlusion_model.py /
+# flow_occ_model.py / inpainting_model.py)
+# ---------------------------------------------------------------------------
+
+
+def make_supervised_flow_step(hparams: dict | None = None):
+    """MSE(flow_pred, flow_gt) (reference flow_model.py:173-186)."""
+
+    def loss_fn(state, params, batch_stats, batch, train):
+        flow_pred, _, new_stats = _apply_flow_net(
+            state, params, batch_stats, batch["images"], train
+        )
+        loss = jnp.mean((flow_pred - batch["flow"]) ** 2)
+        return loss, ({"loss": loss}, new_stats)
+
+    return _build_steps(loss_fn)
+
+
+def make_supervised_occ_step(hparams: dict | None = None):
+    """Focal BCE (gamma=2) on occlusion (reference occlusion_model.py:45-62)."""
+
+    def loss_fn(state, params, batch_stats, batch, train):
+        occ_pred, _, new_stats = _apply_flow_net(
+            state, params, batch_stats, batch["images"], train
+        )
+        loss = losses.focal_bce_loss(occ_pred, batch["occ"])
+        return loss, ({"loss": loss}, new_stats)
+
+    return _build_steps(loss_fn)
+
+
+def make_supervised_flow_occ_step(hparams: dict | None = None):
+    """L1(flow) + BCE(occ) (reference flow_occ_model.py:48-55)."""
+
+    def loss_fn(state, params, batch_stats, batch, train):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if train and batch_stats:
+            (flow_pred, occ_pred), updates = state.apply_fn(
+                variables, batch["images"], train=True, mutable=["batch_stats"]
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            flow_pred, occ_pred = state.apply_fn(
+                variables, batch["images"], train=False
+            )
+            new_stats = batch_stats
+        flow_loss = jnp.mean(jnp.abs(flow_pred - batch["flow"]))
+        occ_loss = losses.binary_cross_entropy(occ_pred, batch["occ"])
+        loss = flow_loss + occ_loss
+        metrics = {"loss": loss, "flow_loss": flow_loss, "occ_loss": occ_loss}
+        return loss, (metrics, new_stats)
+
+    return _build_steps(loss_fn)
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised flow (reference FlowStageModel, models/model.py:155-509)
+# ---------------------------------------------------------------------------
+
+
+def make_unsupervised_flow_step(hparams: dict):
+    """Photometric + smoothness unsupervised flow training.
+
+    hparams keys (reference models/model.py:159-171):
+      photo_weight, smooth1_weight, smooth2_weight, with_occ (GT occ masking),
+      occ_aware (forward-backward range-map occlusion), model ('pwc' computes
+      smoothness at 1/4 resolution on flow_l2, models/model.py:332-335).
+    """
+    photo_w = hparams.get("photo_weight", 1.0)
+    s1_w = hparams.get("smooth1_weight", 0.0)
+    s2_w = hparams.get("smooth2_weight", 1.0)
+    with_occ = hparams.get("with_occ", False)
+    occ_aware = hparams.get("occ_aware", False)
+    is_pwc = hparams.get("model", "simple") == "pwc"
+
+    def loss_fn(state, params, batch_stats, batch, train):
+        imgs = batch["images"]
+        img1, img2 = imgs[..., :3], imgs[..., 3:]
+        flow_pred, flow_l2, new_stats = _apply_flow_net(
+            state, params, batch_stats, imgs, train
+        )
+        img_warped = warp(img2, flow_pred, align_corners=True)
+
+        occ_pred = None
+        if occ_aware:
+            # backward flow under stop_gradient (reference no_grad at :381)
+            back_in = jnp.concatenate([img2, img1], axis=-1)
+            back_flow, _, _ = _apply_flow_net(
+                state,
+                jax.lax.stop_gradient(params),
+                jax.lax.stop_gradient(new_stats) if new_stats else new_stats,
+                back_in,
+                False,
+            )
+            occ_pred = jax.lax.stop_gradient(
+                occlusion_from_back_flow(back_flow)
+            )
+            photo = losses.photometric_error(img_warped, img1, occ_pred)
+        elif with_occ:
+            photo = losses.photometric_error(img_warped, img1, batch["occ"])
+        else:
+            photo = losses.photometric_error(img_warped, img1)
+
+        if is_pwc and flow_l2 is not None:
+            h, w = img1.shape[1] // 4, img1.shape[2] // 4
+            img1_s = resize_bilinear(img1, h, w, align_corners=True)
+            smooth1 = losses.first_order_smoothness_loss(img1_s, flow_l2)
+            smooth2 = losses.second_order_smoothness_loss(img1_s, flow_l2)
+        else:
+            smooth1 = losses.first_order_smoothness_loss(img1, flow_pred)
+            smooth2 = losses.second_order_smoothness_loss(img1, flow_pred)
+
+        loss = photo_w * photo + s1_w * smooth1 + s2_w * smooth2
+        metrics = {
+            "loss": loss,
+            "photometric": photo,
+            "smooth1": smooth1,
+            "smooth2": smooth2,
+        }
+        if "flow" in batch:
+            metrics["flow_error"] = jnp.mean((flow_pred - batch["flow"]) ** 2)
+        if occ_aware:
+            metrics["photometric_occ"] = losses.photometric_error(
+                img_warped, img1, 1.0 - occ_pred
+            )
+            if "occ" in batch:
+                # NB: reference reverses the BCE arguments (model.py:407);
+                # we compute BCE(pred, target) — documented deviation.
+                metrics["occ_error"] = losses.binary_cross_entropy(
+                    occ_pred, batch["occ"]
+                )
+        return loss, (metrics, new_stats)
+
+    return _build_steps(loss_fn)
+
+
+# ---------------------------------------------------------------------------
+# Step builder
+# ---------------------------------------------------------------------------
+
+
+def _build_steps(loss_fn: Callable):
+    """Wrap a loss fn into jitted (train_step, eval_step)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        def wrapped(params):
+            return loss_fn(state, params, state.batch_stats, batch, True)
+
+        grads, (metrics, new_stats) = jax.grad(wrapped, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        _, (metrics, _) = loss_fn(
+            state, state.params, state.batch_stats, batch, False
+        )
+        return metrics
+
+    return train_step, eval_step

@@ -7,12 +7,21 @@ simulation — see SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (real TPU); the
+# test suite must be deterministic and multi-device, so override it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize (/root/.axon_site) registers its TPU backend at
+# interpreter start and programmatically overrides jax_platforms — the env
+# var alone is not enough; force the config after import.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
