@@ -1,0 +1,298 @@
+"""Gated-convolution inpainting (SN-PatchGAN / DeepFillv2 style) —
+reference gated_conv_inpainting_net.py.
+
+- ``GatedConv`` / ``GatedProjConv``: feature tower * sigmoid(gate tower),
+  optional BN, LeakyReLU(0.2) (reference :38-109).
+- ``SelfAttention``: full-image softmax(QᵀK)V with learnable gamma
+  (reference :284-317) — dense O((HW)²) here; the blockwise Pallas path for
+  full-res images lives in ops/attention.py.
+- ``InpaintSANet`` (projected convs) and ``InpaintSANetOrg`` (plain convs,
+  clamp output, hole filled with 1s) two-stage coarse→refine generators
+  (reference :319-407, :430-514).
+- Spectral-norm discriminators via flax nn.SpectralNorm (power-iteration
+  state lives in the 'batch_stats' collection, updated in train mode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ocflow_tpu.ops.resize import resize_bilinear
+
+
+def _torch_pad(k: int, s: int, d: int = 1) -> int:
+    """SAME-style symmetric padding for stride-s convs (reference get_pad,
+    gated_conv_inpainting_net.py:9-18, for sizes divisible by s)."""
+    return (d * (k - 1) + 2 - s) // 2 if s > 1 else d * (k - 1) // 2
+
+
+class _Conv(nn.Module):
+    """Plain conv with torch get_pad padding, optional spectral norm."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        p = _torch_pad(self.kernel_size, self.stride, self.dilation)
+        conv = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+        )
+        if self.spectral_norm:
+            return nn.SpectralNorm(conv)(x, update_stats=update_stats)
+        return conv(x)
+
+
+class _ProjConv(nn.Module):
+    """1x1 → kxk → 1x1 projected conv (reference Conv2dWithProj :20-36)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    proj_ratio: int = 4
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        inter = max(x.shape[-1] // self.proj_ratio, 1)
+        x = _Conv(inter, 1, use_bias=False, spectral_norm=self.spectral_norm)(
+            x, update_stats
+        )
+        x = _Conv(
+            inter, self.kernel_size, self.stride, self.dilation,
+            use_bias=False, spectral_norm=self.spectral_norm,
+        )(x, update_stats)
+        x = _Conv(self.features, 1, use_bias=False, spectral_norm=self.spectral_norm)(
+            x, update_stats
+        )
+        return x
+
+
+class GatedConv(nn.Module):
+    """phi(f(x)) * sigmoid(g(x)), optional BN on the feature tower."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    projected: bool = True
+    proj_ratio: int = 4
+    batch_norm: bool = True
+    activation: str | None = "leaky_relu"  # 'leaky_relu' | 'tanh' | None
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tower = _ProjConv if self.projected else _Conv
+        kwargs = dict(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            spectral_norm=self.spectral_norm,
+        )
+        if self.projected:
+            kwargs["proj_ratio"] = self.proj_ratio
+        feat = tower(**kwargs)(x, update_stats=train)
+        gate = tower(**kwargs)(x, update_stats=train)
+        if self.batch_norm:
+            feat = nn.BatchNorm(use_running_average=not train, momentum=0.9)(feat)
+        if self.activation == "leaky_relu":
+            feat = nn.leaky_relu(feat, negative_slope=0.2)
+        elif self.activation == "tanh":
+            feat = jnp.tanh(feat)
+        return feat * nn.sigmoid(gate)
+
+
+class GatedDeConv(nn.Module):
+    """2x nearest-resize + gated conv (reference :111-144)."""
+
+    features: int
+    kernel_size: int = 3
+    projected: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        # F.interpolate default mode is 'nearest' (reference :125)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return GatedConv(
+            self.features, self.kernel_size, projected=self.projected
+        )(x, train)
+
+
+class SelfAttention(nn.Module):
+    """softmax(QᵀK)·V attention over all H·W positions + gamma residual
+    (reference Self_Attn :284-317)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        n = h * w
+        q = nn.Conv(c // 8, (1, 1))(x).reshape(b, n, c // 8)
+        k = nn.Conv(c // 8, (1, 1))(x).reshape(b, n, c // 8)
+        v = nn.Conv(c, (1, 1))(x).reshape(b, n, c)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", q, k), axis=-1
+        )
+        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return gamma * out + x
+
+
+class _GeneratorTrunk(nn.Module):
+    """Coarse network layer stack (shared shape between variants),
+    reference :328-355."""
+
+    projected: bool = True
+    cnum: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = lambda f, k, s=1, d=1, act="leaky_relu", pr=4: GatedConv(
+            f, k, stride=s, dilation=d, projected=self.projected,
+            proj_ratio=pr, activation=act,
+        )
+        c = self.cnum
+        x = g(c, 5, pr=1)(x, train)
+        x = g(2 * c, 4, s=2)(x, train)
+        x = g(2 * c, 3)(x, train)
+        x = g(4 * c, 4, s=2)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3, d=2)(x, train)
+        x = g(4 * c, 3, d=4)(x, train)
+        x = g(4 * c, 3, d=8)(x, train)
+        x = g(4 * c, 3, d=16)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = GatedDeConv(2 * c, projected=self.projected)(x, train)
+        x = g(2 * c, 3)(x, train)
+        x = GatedDeConv(c, projected=self.projected)(x, train)
+        x = g(c // 2, 3)(x, train)
+        x = g(3, 3, act="tanh" if self.projected else None)(x, train)
+        return x
+
+
+class _RefineTrunk(nn.Module):
+    """Refine conv net up to the dilated block (reference :357-373)."""
+
+    projected: bool = True
+    cnum: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = lambda f, k, s=1, d=1, pr=4: GatedConv(
+            f, k, stride=s, dilation=d, projected=self.projected, proj_ratio=pr
+        )
+        c = self.cnum
+        x = g(c, 5, pr=1)(x, train)
+        x = g(c, 4, s=2)(x, train)
+        x = g(2 * c, 3)(x, train)
+        x = g(2 * c, 4, s=2)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3, d=2)(x, train)
+        x = g(4 * c, 3, d=4)(x, train)
+        x = g(4 * c, 3, d=8)(x, train)
+        x = g(4 * c, 3, d=16)(x, train)
+        return x
+
+
+class _RefineUpsample(nn.Module):
+    """Refine upsample net (reference :377-388)."""
+
+    projected: bool = True
+    cnum: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = lambda f, k, act="leaky_relu": GatedConv(
+            f, k, projected=self.projected, activation=act
+        )
+        c = self.cnum
+        x = g(4 * c, 3)(x, train)
+        x = g(4 * c, 3)(x, train)
+        x = GatedDeConv(2 * c, projected=self.projected)(x, train)
+        x = g(2 * c, 3)(x, train)
+        x = GatedDeConv(c, projected=self.projected)(x, train)
+        x = g(c // 2, 3)(x, train)
+        x = g(3, 3, act="tanh" if self.projected else None)(x, train)
+        return x
+
+
+class InpaintSANet(nn.Module):
+    """Two-stage gated-conv generator with self-attention in the refine
+    branch (reference :319-407). Returns (coarse, refined)."""
+
+    projected: bool = True
+
+    @nn.compact
+    def __call__(self, imgs, masks, train: bool = False):
+        masked = imgs * (1.0 - masks)
+        coarse = _GeneratorTrunk(projected=self.projected)(
+            jnp.concatenate([masked, masks], axis=-1), train
+        )
+        refined_in = imgs * (1.0 - masks) + coarse * masks
+        x = _RefineTrunk(projected=self.projected)(
+            jnp.concatenate([refined_in, masks], axis=-1), train
+        )
+        x = SelfAttention()(x)
+        x = _RefineUpsample(projected=self.projected)(x, train)
+        return coarse, x
+
+
+class InpaintSANetOrg(nn.Module):
+    """Original DeepFillv2-style generator: plain gated convs, hole filled
+    with 1s, outputs clamped to [-1, 1] (reference :430-514)."""
+
+    @nn.compact
+    def __call__(self, imgs, masks, train: bool = False):
+        masked = imgs * (1.0 - masks) + masks
+        coarse = _GeneratorTrunk(projected=False)(
+            jnp.concatenate([masked, masks], axis=-1), train
+        )
+        coarse = jnp.clip(coarse, -1.0, 1.0)
+        refined_in = imgs * (1.0 - masks) + coarse * masks
+        x = _RefineTrunk(projected=False)(
+            jnp.concatenate([refined_in, masks], axis=-1), train
+        )
+        x = SelfAttention()(x)
+        x = _RefineUpsample(projected=False)(x, train)
+        return coarse, jnp.clip(x, -1.0, 1.0)
+
+
+class InpaintSADiscriminator(nn.Module):
+    """SN-PatchGAN critic: 5 spectral-norm strided (projected) convs,
+    flattened output (reference :409-428)."""
+
+    projected: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = 32
+        tower = _ProjConv if self.projected else _Conv
+        for f in (2 * c, 4 * c, 8 * c, 8 * c, 8 * c):
+            kwargs = dict(features=f, kernel_size=5, stride=2, spectral_norm=True)
+            x = tower(**kwargs)(x, update_stats=train)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        return x.reshape(x.shape[0], -1)
+
+
+class InpaintSADiscriminatorOrg(InpaintSADiscriminator):
+    projected: bool = False

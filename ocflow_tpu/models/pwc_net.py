@@ -72,6 +72,11 @@ class FlowNetCV(nn.Module):
     # per-level multipliers applied to the upsampled flow before warping
     # (reference :186-231)
     warp_scales: Sequence[float] = (0.625, 1.25, 2.5, 5.0)
+    # UFlow feature normalization before correlation (on in FlowNetCV,
+    # off in the sniklaus PWCNet port, pwc_net.py:159-169)
+    normalize: bool = True
+    # FlowNetCV warps with align_corners=False (:149); PWCNet with True (:27)
+    warp_align_corners: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -81,7 +86,9 @@ class FlowNetCV(nn.Module):
         f2 = encoder(im2)
 
         # Level 6 (coarsest)
-        c16, c26 = normalize_features([f1[5], f2[5]])
+        c16, c26 = f1[5], f2[5]
+        if self.normalize:
+            c16, c26 = normalize_features([c16, c26])
         corr = nn.leaky_relu(
             cost_volume(c16, c26, self.displacement), negative_slope=0.1
         )
@@ -94,8 +101,12 @@ class FlowNetCV(nn.Module):
         feat2 = None
         for lvl, scale in zip((4, 3, 2, 1), self.warp_scales):
             c1 = f1[lvl]
-            warped = warp(f2[lvl], up_flow * scale, align_corners=False)
-            c1n, wn = normalize_features([c1, warped])
+            warped = warp(
+                f2[lvl], up_flow * scale, align_corners=self.warp_align_corners
+            )
+            c1n, wn = (c1, warped)
+            if self.normalize:
+                c1n, wn = normalize_features([c1n, wn])
             corr = nn.leaky_relu(
                 cost_volume(c1n, wn, self.displacement), negative_slope=0.1
             )
@@ -111,3 +122,13 @@ class FlowNetCV(nn.Module):
         h, w = flow2.shape[1] * 4, flow2.shape[2] * 4
         flow1 = resize_bilinear(flow2, h, w, align_corners=True) * 20.0
         return flow1, flow2 * 5.0
+
+
+class PWCNet(FlowNetCV):
+    """sniklaus-style PWC-Net port (reference pwc_net.py:34-240): identical
+    coarse-to-fine structure to FlowNetCV but with raw (un-normalized)
+    correlation and align_corners=True backwarp. Trains from scratch; the
+    reference's URL-fetched pretrained weights are an optional extra."""
+
+    normalize: bool = False
+    warp_align_corners: bool = True

@@ -43,11 +43,12 @@ def available(family: str | None = None):
 def _populate():
     """Lazy imports so the registry module itself stays dependency-light."""
     from ocflow_tpu.models.simple_flow_net import SimpleFlowNet
-    from ocflow_tpu.models.pwc_net import FlowNetCV
+    from ocflow_tpu.models.pwc_net import FlowNetCV, PWCNet
     from ocflow_tpu.models.flow_net_s import FlowNetS, FlowNetC
 
     register("flow", "simple")(SimpleFlowNet)
     register("flow", "pwc")(FlowNetCV)
+    register("flow", "pwcnet")(PWCNet)
     register("flow", "flownets")(FlowNetS)
     register("flow", "flownetc")(FlowNetC)
 

@@ -5,6 +5,11 @@ from ocflow_tpu.ops.cost_volume import cost_volume, normalize_features
 from ocflow_tpu.ops.range_map import compute_range_map, occlusion_from_back_flow
 from ocflow_tpu.ops.resize import resize_bilinear, resize_flow, upsample2x
 from ocflow_tpu.ops.ste import hard_threshold_ste
+from ocflow_tpu.ops.pooling import (
+    max_pool_2x2,
+    max_pool_2x2_with_argmax,
+    max_unpool_2x2,
+)
 
 __all__ = [
     "warp",
@@ -18,4 +23,7 @@ __all__ = [
     "resize_flow",
     "upsample2x",
     "hard_threshold_ste",
+    "max_pool_2x2",
+    "max_pool_2x2_with_argmax",
+    "max_unpool_2x2",
 ]

@@ -1,0 +1,162 @@
+"""Training loop: the TPU-native replacement for pl.Trainer.
+
+Owns: epoch iteration, seeded splits, data-parallel sharding over the mesh,
+metric aggregation, TensorBoard logging (rank-0 only), best-checkpoint saving
+on ``monitored_loss`` and early stopping (reference test.py:61-76).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ocflow_tpu import data as data_lib
+from ocflow_tpu import parallel
+from ocflow_tpu.train.config import Config
+from ocflow_tpu.utils.checkpoint import CheckpointManager
+from ocflow_tpu.utils.profiling import StepTimer
+
+
+class SummaryLogger:
+    """TensorBoard scalars/images via flax's writer; no-op if unavailable."""
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self._writer = None
+        if enabled and jax.process_index() == 0:
+            try:
+                from flax.metrics import tensorboard
+
+                os.makedirs(log_dir, exist_ok=True)
+                self._writer = tensorboard.SummaryWriter(log_dir)
+            except Exception:
+                self._writer = None
+
+    def scalar(self, tag: str, value, step: int):
+        if self._writer is not None:
+            self._writer.scalar(tag, float(value), step)
+
+    def image(self, tag: str, img, step: int):
+        if self._writer is not None:
+            self._writer.image(tag, img, step)
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+
+def make_loaders(cfg: Config):
+    """Dataset → seeded 80/10/10 split → loaders (reference
+    lightning_datamodule.py:50-69; ``overfit`` makes train=val=test)."""
+    kwargs = {}
+    if cfg.dataset_name != "SyntheticFlow":
+        kwargs["root"] = cfg.root
+        if cfg.image_size:
+            kwargs["image_size"] = cfg.image_size
+        if "Inpainting" in cfg.dataset_name:
+            kwargs["occlusion_ratio"] = cfg.occlusion_ratio
+            kwargs["static_occ"] = cfg.static_occ
+    dataset = data_lib.build_dataset(cfg.dataset_name, **kwargs)
+    if cfg.overfit:
+        train_ds = val_ds = test_ds = dataset
+    else:
+        train_ds, val_ds, test_ds = data_lib.random_split(
+            dataset, (0.8, 0.1, 0.1), seed=42
+        )
+    shard_index, num_shards = jax.process_index(), jax.process_count()
+
+    def mk(ds, shuffle):
+        # train drops the ragged last batch (static shapes, no recompiles);
+        # eval pads up by keeping it — a small split must still yield batches
+        return data_lib.DataLoader(
+            ds,
+            cfg.batch_size,
+            shuffle=shuffle,
+            seed=cfg.seed,
+            num_workers=cfg.num_workers,
+            drop_last=shuffle,
+            shard_index=shard_index,
+            num_shards=num_shards,
+        )
+
+    return mk(train_ds, True), mk(val_ds, False), mk(test_ds, False)
+
+
+def fit(
+    cfg: Config,
+    state,
+    train_step: Callable,
+    eval_step: Callable,
+    train_loader,
+    val_loader,
+    mesh=None,
+    step_args: tuple = (),
+):
+    """Run the epoch loop; returns the final state.
+
+    ``step_args``: extra positional args threaded to the step fns (e.g. the
+    frozen-variables pytree of the two-stage regime).
+    """
+    logger = SummaryLogger(cfg.log_dir)
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = parallel.make_mesh(cfg.mesh_shape)
+    if mesh is not None:
+        state = jax.device_put(state, parallel.replicated(mesh))
+
+    best = float("inf")
+    bad_epochs = 0
+    global_step = 0
+    timer = StepTimer()
+
+    for epoch in range(cfg.max_epochs):
+        train_loader.set_epoch(epoch)
+        for batch in data_lib.device_iterator(train_loader, mesh):
+            state, metrics = train_step(state, *step_args, batch)
+            timer.tick(cfg.batch_size)
+            if global_step % cfg.log_every_n_steps == 0:
+                for k, v in metrics.items():
+                    logger.scalar(f"train_{k}", v, global_step)
+                logger.scalar("images_per_sec", timer.images_per_sec, global_step)
+            global_step += 1
+
+        # validation
+        val_metrics = []
+        for batch in data_lib.device_iterator(val_loader, mesh):
+            val_metrics.append(
+                {k: float(v) for k, v in eval_step(state, *step_args, batch).items()}
+            )
+        if not val_metrics:
+            continue
+        avg = {
+            k: float(np.mean([m[k] for m in val_metrics])) for k in val_metrics[0]
+        }
+        for k, v in avg.items():
+            logger.scalar(f"val_{k}", v, epoch)
+        monitored = avg.get("loss", next(iter(avg.values())))
+        logger.scalar("monitored_loss", monitored, epoch)
+        logger.flush()
+
+        if jax.process_index() == 0:
+            ckpt.save(epoch, state, monitored)
+        if monitored < best - 1e-12:
+            best = monitored
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+            if bad_epochs >= cfg.patience:
+                break
+    return state
+
+
+def evaluate(cfg: Config, state, eval_step, loader, mesh=None, step_args=()):
+    """Test loop: mean metrics over a loader."""
+    out = []
+    for batch in data_lib.device_iterator(loader, mesh):
+        out.append({k: float(v) for k, v in eval_step(state, *step_args, batch).items()})
+    if not out:
+        return {}
+    return {k: float(np.mean([m[k] for m in out])) for k in out[0]}
