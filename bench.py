@@ -34,24 +34,35 @@ def main():
 
     iters = 20 if on_tpu else 2
 
-    # N forwards inside ONE jit call: the axon relay's block_until_ready is
-    # not a true sync and per-call round-trip latency (~27 ms) would swamp
-    # the measurement; a scalar fetch of the summed outputs forces a real
-    # device sync exactly once.
+    # N forwards inside ONE jit call, CHAINED through the scan carry: a
+    # loop-invariant body gets hoisted by XLA CSE (one forward instead of N),
+    # and the axon relay's block_until_ready is not a true sync — only a
+    # value fetch is. Feeding the output back into the input forces N real
+    # sequential forwards; relay latency is measured separately and removed.
     @jax.jit
     def forward_n(variables, x):
-        def body(acc, _):
-            flow, _ = net.apply(variables, x)
-            return acc + jnp.sum(flow), None
+        def body(carry, _):
+            flow, _ = net.apply(variables, carry)
+            delta = jnp.concatenate([flow, flow, flow], axis=-1)
+            return carry + delta.astype(carry.dtype) * 1e-6, None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=iters)
-        return acc
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(out.astype(jnp.float32))
 
-    float(forward_n(variables, x))  # compile + warmup (value fetch = sync)
+    @jax.jit
+    def fetch_baseline(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    float(forward_n(variables, x))  # compile + warmup
+    float(fetch_baseline(x))
+
+    t0 = time.perf_counter()
+    float(fetch_baseline(x))
+    overhead = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     float(forward_n(variables, x))
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9)
 
     pairs_per_sec = batch * iters / dt
     target = 5000.0

@@ -15,7 +15,7 @@ from ocflow_tpu.models.feature_pyramid import (
     FeaturePyramidNet,
     OpticalFlowEstimator,
 )
-from ocflow_tpu.ops.cost_volume import cost_volume
+from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused as cost_volume
 from ocflow_tpu.ops.resize import resize_bilinear
 from ocflow_tpu.ops.warp import warp
 

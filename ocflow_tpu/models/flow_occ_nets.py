@@ -25,7 +25,8 @@ from ocflow_tpu.models.feature_pyramid import (
 )
 from ocflow_tpu.models.occlusion_nets import PredictOcc, PredictOccStack, _FNetSEncoder
 from ocflow_tpu.models.pwc_net import SiameseEncoder
-from ocflow_tpu.ops.cost_volume import cost_volume, normalize_features
+from ocflow_tpu.ops.cost_volume import normalize_features
+from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused as cost_volume
 from ocflow_tpu.ops.resize import resize_bilinear
 from ocflow_tpu.ops.ste import hard_threshold_ste
 from ocflow_tpu.ops.warp import warp

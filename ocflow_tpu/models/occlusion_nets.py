@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ocflow_tpu.models.common import ConvBlock, Deconv, ProjDown, ProjUp
-from ocflow_tpu.ops.cost_volume import cost_volume
+from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused as cost_volume
 from ocflow_tpu.ops.resize import resize_bilinear
 
 
