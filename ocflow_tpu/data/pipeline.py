@@ -128,16 +128,31 @@ def prefetch(iterator, size: int = 2):
 
 def device_iterator(loader, mesh=None, prefetch_size: int = 2):
     """Iterate batches placed on device; with a mesh, batch dim sharded over
-    the 'data' axis (the HBM double-buffer replacing pin_memory)."""
+    the 'data' axis (the HBM double-buffer replacing pin_memory).
+
+    Ragged final batches (eval loaders keep them) are padded up to the mesh
+    size by repeating the last sample so the batch dim stays divisible —
+    mean metrics over such a batch are very slightly biased toward the
+    repeated sample, which is fine for monitoring.
+    """
     import jax
+    import numpy as np
 
     from ocflow_tpu.parallel.mesh import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
+    n_dev = mesh.devices.size if mesh is not None else 1
 
     def place(batch):
         if sharding is None:
             return jax.tree_util.tree_map(jax.device_put, batch)
+        b = next(iter(batch.values())).shape[0]
+        if b % n_dev:
+            pad = n_dev - (b % n_dev)
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()
+            }
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), batch
         )

@@ -3,6 +3,8 @@
 from ocflow_tpu.losses.photometric import (
     robust_l1,
     photometric_error,
+    census_transform,
+    census_loss,
 )
 from ocflow_tpu.losses.smoothness import (
     image_gradient,
@@ -23,6 +25,8 @@ from ocflow_tpu.losses.gan import sn_dis_loss, sn_gen_loss
 __all__ = [
     "robust_l1",
     "photometric_error",
+    "census_transform",
+    "census_loss",
     "image_gradient",
     "edge_aware_smoothness_loss",
     "first_order_smoothness_loss",

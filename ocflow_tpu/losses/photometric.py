@@ -11,6 +11,53 @@ def robust_l1(x: jax.Array, alpha: float = 0.001) -> jax.Array:
     return jnp.sqrt(x**2 + alpha**2)
 
 
+def census_transform(img: jax.Array, patch_size: int = 7) -> jax.Array:
+    """Soft census transform: per-pixel patch of normalized differences to
+    the center intensity (UFlow/DDFlow recipe — an extension beyond the
+    reference, which only ships charbonnier photometric; the driver-set
+    north star lists photometric+census, BASELINE.json).
+
+    Args:
+        img: [B, H, W, 3] in [-1, 1].
+    Returns:
+        [B, H, W, patch_size^2] census features.
+    """
+    # grayscale in [0, 255] like the original census implementations
+    gray = jnp.mean((img + 1.0) * 127.5, axis=-1, keepdims=True)
+    p = patch_size
+    # extract p*p neighborhoods via depthwise "identity" patches
+    patches = jax.lax.conv_general_dilated_patches(
+        gray,
+        filter_shape=(p, p),
+        window_strides=(1, 1),
+        padding=[(p // 2, p // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H, W, p*p]
+    diff = patches - gray
+    return diff / jnp.sqrt(0.81 + diff**2)
+
+
+def census_loss(
+    img1: jax.Array,
+    img2_warped: jax.Array,
+    occ: jax.Array | None = None,
+    patch_size: int = 7,
+) -> jax.Array:
+    """Soft-hamming census distance, occlusion-masked and border-weighted."""
+    t1 = census_transform(img1, patch_size)
+    t2 = census_transform(img2_warped, patch_size)
+    sq = (t1 - t2) ** 2
+    ham = jnp.sum(sq / (0.1 + sq), axis=-1, keepdims=True)
+    # zero weight in the patch border where the transform is invalid
+    b, h, w, _ = img1.shape
+    pad = patch_size // 2
+    mask = jnp.zeros((1, h, w, 1), img1.dtype)
+    mask = mask.at[:, pad : h - pad, pad : w - pad].set(1.0)
+    if occ is not None:
+        mask = mask * (1.0 - occ)
+    return jnp.sum(robust_l1(ham) * mask) / (jnp.sum(mask) + 1e-16)
+
+
 def photometric_error(img_pred: jax.Array, img: jax.Array, occ: jax.Array | None = None) -> jax.Array:
     """Occlusion-normalized charbonnier photometric error.
 

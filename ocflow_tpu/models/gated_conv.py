@@ -137,19 +137,25 @@ class GatedDeConv(nn.Module):
 
 class SelfAttention(nn.Module):
     """softmax(QᵀK)·V attention over all H·W positions + gamma residual
-    (reference Self_Attn :284-317)."""
+    (reference Self_Attn :284-317). Above ``block_threshold`` tokens the
+    exact streaming (flash-style) path kicks in so full-resolution inpainting
+    is feasible — the reference's dense (HW)² matrix forced 64x128 crops."""
+
+    block_threshold: int = 4096
+    block_size: int = 1024
 
     @nn.compact
     def __call__(self, x):
+        from ocflow_tpu.ops.attention import spatial_self_attention
+
         b, h, w, c = x.shape
         n = h * w
         q = nn.Conv(c // 8, (1, 1))(x).reshape(b, n, c // 8)
         k = nn.Conv(c // 8, (1, 1))(x).reshape(b, n, c // 8)
         v = nn.Conv(c, (1, 1))(x).reshape(b, n, c)
-        attn = jax.nn.softmax(
-            jnp.einsum("bnc,bmc->bnm", q, k), axis=-1
-        )
-        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
+        out = spatial_self_attention(
+            q, k, v, self.block_threshold, self.block_size
+        ).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
         return gamma * out + x
 

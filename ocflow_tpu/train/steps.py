@@ -125,6 +125,14 @@ def make_unsupervised_flow_step(hparams: dict):
     with_occ = hparams.get("with_occ", False)
     occ_aware = hparams.get("occ_aware", False)
     is_pwc = hparams.get("model", "simple") == "pwc"
+    # 'charbonnier' (reference parity) or 'census' (extension; the driver
+    # north star lists photometric+census — BASELINE.json)
+    photo_loss = hparams.get("photo_loss", "charbonnier")
+
+    def _photo(img_warped, img1, occ):
+        if photo_loss == "census":
+            return losses.census_loss(img_warped, img1, occ)
+        return losses.photometric_error(img_warped, img1, occ)
 
     def loss_fn(state, params, batch_stats, batch, train):
         imgs = batch["images"]
@@ -148,11 +156,11 @@ def make_unsupervised_flow_step(hparams: dict):
             occ_pred = jax.lax.stop_gradient(
                 occlusion_from_back_flow(back_flow)
             )
-            photo = losses.photometric_error(img_warped, img1, occ_pred)
+            photo = _photo(img_warped, img1, occ_pred)
         elif with_occ:
-            photo = losses.photometric_error(img_warped, img1, batch["occ"])
+            photo = _photo(img_warped, img1, batch["occ"])
         else:
-            photo = losses.photometric_error(img_warped, img1)
+            photo = _photo(img_warped, img1, None)
 
         if is_pwc and flow_l2 is not None:
             h, w = img1.shape[1] // 4, img1.shape[2] // 4
