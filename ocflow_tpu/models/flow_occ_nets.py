@@ -163,8 +163,11 @@ class FlowOccNetCV(nn.Module):
     def __call__(self, x, train: bool = False):
         im1, im2 = x[..., :3], x[..., 3:]
         encoder = SiameseEncoder()
-        f1 = encoder(im1)
-        f2 = encoder(im2)
+        # both frames in one encoder pass (no norm layers -> identical math)
+        b = x.shape[0]
+        both = encoder(jnp.concatenate([im1, im2], axis=0))
+        f1 = [f[:b] for f in both]
+        f2 = [f[b:] for f in both]
 
         corr = nn.leaky_relu(
             cost_volume(f1[5], f2[5], self.displacement), negative_slope=0.1
@@ -227,8 +230,11 @@ class FlowOccNetCV2(nn.Module):
     def __call__(self, x, train: bool = False):
         im1, im2 = x[..., :3], x[..., 3:]
         encoder = SiameseEncoder()
-        f1 = encoder(im1)
-        f2 = encoder(im2)
+        # both frames in one encoder pass (no norm layers -> identical math)
+        b = x.shape[0]
+        both = encoder(jnp.concatenate([im1, im2], axis=0))
+        f1 = [f[:b] for f in both]
+        f2 = [f[b:] for f in both]
 
         corr = nn.leaky_relu(
             cost_volume(f1[5], f2[5], self.displacement), negative_slope=0.1

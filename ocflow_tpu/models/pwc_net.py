@@ -83,8 +83,13 @@ class FlowNetCV(nn.Module):
     def __call__(self, x, train: bool = False):
         im1, im2 = x[..., :3], x[..., 3:]
         encoder = SiameseEncoder()
-        f1 = encoder(im1)
-        f2 = encoder(im2)
+        # one encoder pass over both frames stacked on the batch dim: same
+        # weights/math, double the GEMM M per conv (better MXU utilization
+        # than two half-size passes)
+        b = x.shape[0]
+        both = encoder(jnp.concatenate([im1, im2], axis=0))
+        f1 = [f[:b] for f in both]
+        f2 = [f[b:] for f in both]
 
         # Level 6 (coarsest)
         c16, c26 = f1[5], f2[5]

@@ -6,5 +6,18 @@ from ocflow_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from ocflow_tpu.parallel.spatial import (
+    halo_exchange,
+    spatial_cost_volume,
+    spatial_warp,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "halo_exchange",
+    "spatial_cost_volume",
+    "spatial_warp",
+]
