@@ -38,6 +38,27 @@ def center_crop(img: np.ndarray, th: int, tw: int) -> np.ndarray:
     return img[(h - th) // 2 : (h + th) // 2, (w - tw) // 2 : (w + tw) // 2]
 
 
+class StaticRandomCrop:
+    """Crop offset drawn once, applied to every array (so image pairs, flow
+    and occ stay aligned — reference datasets.py:39-47)."""
+
+    def __init__(self, rng: np.random.Generator, image_size, crop_size):
+        self.th, self.tw = crop_size
+        h, w = image_size
+        self.h1 = int(rng.integers(0, max(h - self.th, 1)))
+        self.w1 = int(rng.integers(0, max(w - self.tw, 1)))
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return img[self.h1 : self.h1 + self.th, self.w1 : self.w1 + self.tw]
+
+
+def rescale(images: np.ndarray, range_=(0.0, 1.0), old_range=(0.0, 255.0)) -> np.ndarray:
+    """Linear range remap (reference RescaleTransform, datasets.py:17-37)."""
+    lo, hi = range_
+    olo, ohi = old_range
+    return (images - olo) / (ohi - olo) * (hi - lo) + lo
+
+
 def floor64(size: Sequence[int]) -> tuple[int, int]:
     """Crop target: floor spatial dims to a multiple of 64
     (reference datasets.py:148-150)."""

@@ -20,6 +20,7 @@ from ocflow_tpu.models.flow_occ_nets import (
     FlowOccNet,
 )
 from ocflow_tpu.models.inpainting_net import InpaintingNet
+from ocflow_tpu.models.ocflownet import OCFlowNet
 from ocflow_tpu.models.gated_conv import (
     InpaintSANet,
     InpaintSANetOrg,
@@ -55,4 +56,5 @@ __all__ = [
     "InpaintSADiscriminator",
     "InpaintSADiscriminatorOrg",
     "SelfAttention",
+    "OCFlowNet",
 ]

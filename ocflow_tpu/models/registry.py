@@ -102,6 +102,12 @@ def _populate():
     except ImportError:
         pass
     try:
+        from ocflow_tpu.models.ocflownet import OCFlowNet
+
+        register("pipeline", "ocflownet")(OCFlowNet)
+    except ImportError:
+        pass
+    try:
         from ocflow_tpu.models.gated_conv import (
             InpaintSANet,
             InpaintSANetOrg,

@@ -6,6 +6,11 @@ from ocflow_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from ocflow_tpu.parallel.distributed import (
+    initialize,
+    is_main_process,
+    local_shard_info,
+)
 from ocflow_tpu.parallel.spatial import (
     halo_exchange,
     spatial_cost_volume,
@@ -17,6 +22,9 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "initialize",
+    "is_main_process",
+    "local_shard_info",
     "halo_exchange",
     "spatial_cost_volume",
     "spatial_warp",

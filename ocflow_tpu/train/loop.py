@@ -118,6 +118,15 @@ def fit(
             state, metrics = train_step(state, *step_args, batch)
             timer.tick(cfg.batch_size)
             if global_step % cfg.log_every_n_steps == 0:
+                loss_val = float(metrics.get("loss", next(iter(metrics.values()))))
+                if not np.isfinite(loss_val):
+                    # failure detection: surface divergence instead of
+                    # silently training on NaNs (the reference only had a
+                    # debug print inside ReconLoss)
+                    raise FloatingPointError(
+                        f"non-finite training loss {loss_val} at step "
+                        f"{global_step} (epoch {epoch})"
+                    )
                 for k, v in metrics.items():
                     logger.scalar(f"train_{k}", v, global_step)
                 logger.scalar("images_per_sec", timer.images_per_sec, global_step)
