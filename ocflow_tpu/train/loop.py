@@ -43,6 +43,12 @@ class SummaryLogger:
         if self._writer is not None:
             self._writer.image(tag, img, step)
 
+    def histogram(self, tag: str, values, step: int, bins: int = 64):
+        """Gradient/param histograms (reference on_after_backward,
+        model.py:1266-1270)."""
+        if self._writer is not None:
+            self._writer.histogram(tag, np.asarray(values).ravel(), step, bins=bins)
+
     def flush(self):
         if self._writer is not None:
             self._writer.flush()
@@ -94,11 +100,15 @@ def fit(
     val_loader,
     mesh=None,
     step_args: tuple = (),
+    viz_fn: Optional[Callable] = None,
 ):
     """Run the epoch loop; returns the final state.
 
     ``step_args``: extra positional args threaded to the step fns (e.g. the
     frozen-variables pytree of the two-stage regime).
+    ``viz_fn(state, batch) -> {tag: uint8 HxWx3}``: qualitative panels,
+    logged to TensorBoard and dumped to ``result_dir/val_{epoch}`` every
+    ``log_image_every_epoch`` epochs (reference model.py:626-650).
     """
     logger = SummaryLogger(cfg.log_dir)
     ckpt = CheckpointManager(cfg.checkpoint_dir)
@@ -134,10 +144,30 @@ def fit(
 
         # validation
         val_metrics = []
+        first_val_batch = None
         for batch in data_lib.device_iterator(val_loader, mesh):
+            if first_val_batch is None:
+                first_val_batch = batch
             val_metrics.append(
                 {k: float(v) for k, v in eval_step(state, *step_args, batch).items()}
             )
+
+        # qualitative panels (reference dumps val images every
+        # log_image_every_epoch epochs, model.py:626-650)
+        if (
+            viz_fn is not None
+            and first_val_batch is not None
+            and epoch % cfg.log_image_every_epoch == 0
+            and jax.process_index() == 0
+        ):
+            panels = viz_fn(state, first_val_batch)
+            val_dir = os.path.join(cfg.result_dir, f"val_{epoch}")
+            os.makedirs(val_dir, exist_ok=True)
+            import imageio.v2 as iio
+
+            for tag, img in panels.items():
+                logger.image(f"val/{tag}", img, epoch)
+                iio.imwrite(os.path.join(val_dir, f"{tag}.png"), img)
         if not val_metrics:
             continue
         avg = {
