@@ -45,26 +45,11 @@ def flow_to_warp(flow: jax.Array) -> jax.Array:
     return grid[None] + flow
 
 
-def _sample_bilinear_zero_pad(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinear sample one image at float pixel coords with zero padding.
-
-    Matches ``grid_sample(mode='bilinear', padding_mode='zeros')``: each of
-    the four neighboring taps contributes zero when it falls outside the
-    image, so partially-outside samples are partially attenuated.
-
-    TPU-tuned formulation: ONE ``lax.gather`` of a [2, 2, C] slice per pixel
-    (4x fewer gather descriptors than four per-tap row gathers — 2.5x faster
-    on v5e). Slice starts are clipped to the image; per-tap zero-padding
-    weights fall out of evaluating the bilinear hat function at the
-    *gathered* (clipped) positions: any tap farther than 1px from the sample
-    point — including every out-of-bounds tap — gets weight 0.
-    """
-    h, w, c = img.shape
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
-
+def _gather_2x2(img: jax.Array, x0: jax.Array, y0: jax.Array) -> jax.Array:
+    """ONE lax.gather of a [2, 2, C] slice per pixel (starts pre-clipped)."""
+    c = img.shape[-1]
     starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)  # [N, 2]
-    gathered = jax.lax.gather(
+    return jax.lax.gather(
         img,
         starts,
         jax.lax.GatherDimensionNumbers(
@@ -76,13 +61,97 @@ def _sample_bilinear_zero_pad(img: jax.Array, x: jax.Array, y: jax.Array) -> jax
         mode=jax.lax.GatherScatterMode.CLIP,
     )  # [N, 2, 2, C]
 
-    two = jnp.arange(2, dtype=img.dtype)[None]
+
+def _hat_weights(x, x0, y, y0, dtype):
+    """Bilinear hat weights at the (clipped) 2x2 tap positions. Taps farther
+    than 1px — including every out-of-bounds tap — get weight 0, which is
+    exactly grid_sample's zero padding."""
+    two = jnp.arange(2, dtype=dtype)[None]
     fx = x.reshape(-1)[:, None]
     fy = y.reshape(-1)[:, None]
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - (x0.reshape(-1)[:, None].astype(img.dtype) + two)))
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - (y0.reshape(-1)[:, None].astype(img.dtype) + two)))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - (x0.reshape(-1)[:, None].astype(dtype) + two)))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - (y0.reshape(-1)[:, None].astype(dtype) + two)))
+    return wx, wy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sample_bilinear_zero_pad(img: jax.Array, x: jax.Array, y: jax.Array, _meta=None) -> jax.Array:
+    """Bilinear sample one image at float pixel coords with zero padding.
+
+    Matches ``grid_sample(mode='bilinear', padding_mode='zeros')``. TPU-tuned
+    formulation: ONE ``lax.gather`` of a [2, 2, C] slice per pixel (4x fewer
+    gather descriptors than four per-tap row gathers — 2.5x faster on v5e),
+    with hat-function weights supplying the per-tap zero padding.
+
+    Custom VJP: XLA's adjoint of the windowed gather is a windowed
+    scatter-add that runs ~400x slower than the forward on v5e (1.8 s for one
+    PWC level-2 warp) and can crash the TPU worker at scale. The backward
+    here splats dL/dimg with four flat-index ``.at[].add`` scatters and
+    computes dL/d(x,y) analytically from the gathered taps.
+    """
+    h, w, c = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    gathered = _gather_2x2(img, x0, y0)
+    wx, wy = _hat_weights(x, x0, y, y0, img.dtype)
     out = jnp.einsum("nyxc,ny,nx->nc", gathered, wy, wx)
     return out.reshape(*x.shape, c)
+
+
+def _sample_fwd(img, x, y, _meta):
+    h, w, c = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    gathered = _gather_2x2(img, x0, y0)
+    wx, wy = _hat_weights(x, x0, y, y0, img.dtype)
+    out = jnp.einsum("nyxc,ny,nx->nc", gathered, wy, wx)
+    # tap-relative offsets (needed for the hat-derivative signs in bwd)
+    tx = x.reshape(-1) - x0.reshape(-1).astype(x.dtype)
+    ty = y.reshape(-1) - y0.reshape(-1).astype(y.dtype)
+    return out.reshape(*x.shape, c), (x0, y0, gathered, wx, wy, tx, ty)
+
+
+def _sample_bwd(meta, res, g):
+    h, w, c, dtype, spatial = meta
+    x0, y0, gathered, wx, wy, tx, ty = res
+    gf = g.reshape(-1, c).astype(jnp.float32)
+    wxf = wx.astype(jnp.float32)
+    wyf = wy.astype(jnp.float32)
+    x0f = x0.reshape(-1)
+    y0f = y0.reshape(-1)
+
+    # dL/dimg: splat w_y*w_x*g onto the 4 (in-bounds, clipped) taps with
+    # FLAT index scatters — fast and stable on TPU
+    dimg = jnp.zeros((h * w, c), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            wgt = (wyf[:, dy] * wxf[:, dx])[:, None]
+            idx = (y0f + dy) * w + (x0f + dx)
+            dimg = dimg.at[idx].add(wgt * gf)
+    dimg = dimg.reshape(h, w, c).astype(dtype)
+
+    # dL/dx, dL/dy: analytic hat derivative. For tap k: w_k = max(0, 1-|t_k|)
+    # with t_k = x - (x0+k); dw_k/dx = -sign(t_k) inside the support, else 0.
+    gv = gathered.astype(jnp.float32)  # [N, 2, 2, C]
+    gsum = jnp.einsum("nyxc,nc->nyx", gv, gf)  # [N, 2, 2]
+    txf = tx.astype(jnp.float32)
+    tyf = ty.astype(jnp.float32)
+
+    def dhat(t, wq):
+        return jnp.where(wq > 0, -jnp.sign(t), 0.0)
+
+    dwx = jnp.stack([dhat(txf, wxf[:, 0]), dhat(txf - 1.0, wxf[:, 1])], axis=-1)
+    dwy = jnp.stack([dhat(tyf, wyf[:, 0]), dhat(tyf - 1.0, wyf[:, 1])], axis=-1)
+    dx_grad = jnp.einsum("nyx,ny,nx->n", gsum, wyf, dwx)
+    dy_grad = jnp.einsum("nyx,ny,nx->n", gsum, dwy, wxf)
+    return (
+        dimg,
+        dx_grad.reshape(spatial).astype(dtype),
+        dy_grad.reshape(spatial).astype(dtype),
+    )
+
+
+_sample_bilinear_zero_pad.defvjp(_sample_fwd, _sample_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("align_corners", "with_mask"))
@@ -118,10 +187,13 @@ def warp(
         x = x * (w / max(w - 1, 1)) - 0.5
         y = y * (h / max(h - 1, 1)) - 0.5
 
-    out = jax.vmap(_sample_bilinear_zero_pad)(img, x, y)
+    meta = (h, w, img.shape[-1], img.dtype.name, (h, w))
+    sample = lambda i, xx, yy: _sample_bilinear_zero_pad(i, xx, yy, meta)
+    out = jax.vmap(sample)(img, x, y)
     if not with_mask:
         return out
     ones = jnp.ones_like(img[..., :1])
-    mask = jax.vmap(_sample_bilinear_zero_pad)(ones, x, y)
+    meta1 = (h, w, 1, img.dtype.name, (h, w))
+    mask = jax.vmap(lambda i, xx, yy: _sample_bilinear_zero_pad(i, xx, yy, meta1))(ones, x, y)
     mask = (mask >= 0.9999).astype(img.dtype)
     return out * mask, mask
