@@ -29,7 +29,10 @@ def leaky_relu(x, slope: float = 0.1):
 
 
 class ConvBlock(nn.Module):
-    """Conv → (BatchNorm) → LeakyReLU(0.1), torch-style padding."""
+    """Conv → (BatchNorm) → LeakyReLU(0.1), torch-style padding.
+
+    ``dtype`` is the computation dtype (mixed precision: params stay fp32,
+    compute in bf16 when set)."""
 
     features: int
     kernel_size: int = 3
@@ -38,6 +41,7 @@ class ConvBlock(nn.Module):
     padding: int | None = None  # default: (k-1)//2 * dilation
     use_bn: bool = False
     act: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -51,6 +55,7 @@ class ConvBlock(nn.Module):
             padding=((p, p), (p, p)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=not self.use_bn,
+            dtype=self.dtype,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
@@ -58,6 +63,7 @@ class ConvBlock(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 axis_name=BN_AXIS_NAME,
+                dtype=self.dtype,
             )(x)
         if self.act:
             x = leaky_relu(x)
@@ -69,11 +75,13 @@ class Deconv(nn.Module):
 
     features: int
     act: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = nn.ConvTranspose(
-            self.features, (4, 4), strides=(2, 2), padding="SAME", use_bias=True
+            self.features, (4, 4), strides=(2, 2), padding="SAME", use_bias=True,
+            dtype=self.dtype,
         )(x)
         if self.act:
             x = leaky_relu(x)
@@ -84,10 +92,13 @@ class PredictFlow(nn.Module):
     """Single 3x3 conv flow head (PWC/FlowNetS style)."""
 
     out_channels: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)))(x)
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype
+        )(x)
 
 
 class PredictFlowStack(nn.Module):

@@ -14,7 +14,7 @@ correlation, which XLA fuses aggressively on the MXU.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -30,14 +30,15 @@ class SiameseEncoder(nn.Module):
     """Three 3x3 convs per level, first strided (reference :30-47)."""
 
     level_features: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         feats = []
         for f in self.level_features:
-            x = ConvBlock(f, stride=2)(x)
-            x = ConvBlock(f)(x)
-            x = ConvBlock(f)(x)
+            x = ConvBlock(f, stride=2, dtype=self.dtype)(x)
+            x = ConvBlock(f, dtype=self.dtype)(x)
+            x = ConvBlock(f, dtype=self.dtype)(x)
             feats.append(x)
         return feats
 
@@ -46,22 +47,26 @@ class DenseDecoder(nn.Module):
     """Concat-growth decoder: x ← cat(conv_i(x), x) five times, then a flow
     head; also emits the pre-head features (reference :176-183)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         for f in (128, 128, 96, 64, 32):
-            x = jnp.concatenate([ConvBlock(f)(x), x], axis=-1)
-        flow = PredictFlow()(x)
+            x = jnp.concatenate([ConvBlock(f, dtype=self.dtype)(x), x], axis=-1)
+        flow = PredictFlow(dtype=self.dtype)(x)
         return flow, x
 
 
 class ContextNetwork(nn.Module):
     """Dilated refinement (dc_conv1..7, reference :106-112)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         for f, d in ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)):
-            x = ConvBlock(f, dilation=d)(x)
-        return PredictFlow()(x)
+            x = ConvBlock(f, dilation=d, dtype=self.dtype)(x)
+        return PredictFlow(dtype=self.dtype)(x)
 
 
 class FlowNetCV(nn.Module):
@@ -78,11 +83,16 @@ class FlowNetCV(nn.Module):
     normalize: bool = True
     # FlowNetCV warps with align_corners=False (:149); PWCNet with True (:27)
     warp_align_corners: bool = False
+    # computation dtype: None = follow inputs (fp32 parity); jnp.bfloat16 for
+    # mixed-precision training/inference with fp32 params
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         im1, im2 = x[..., :3], x[..., 3:]
-        encoder = SiameseEncoder()
+        encoder = SiameseEncoder(dtype=self.dtype)
         # one encoder pass over both frames stacked on the batch dim: same
         # weights/math, double the GEMM M per conv (better MXU utilization
         # than two half-size passes)
@@ -98,9 +108,9 @@ class FlowNetCV(nn.Module):
         corr = nn.leaky_relu(
             cost_volume(c16, c26, self.displacement), negative_slope=0.1
         )
-        flow, feat = DenseDecoder()(corr)
-        up_flow = Deconv(2, act=False)(flow)
-        up_feat = Deconv(2, act=False)(feat)
+        flow, feat = DenseDecoder(dtype=self.dtype)(corr)
+        up_flow = Deconv(2, act=False, dtype=self.dtype)(flow)
+        up_feat = Deconv(2, act=False, dtype=self.dtype)(feat)
 
         # Levels 5..2
         flow2 = None
@@ -117,14 +127,16 @@ class FlowNetCV(nn.Module):
                 cost_volume(c1n, wn, self.displacement), negative_slope=0.1
             )
             xcat = jnp.concatenate([corr, c1, up_flow, up_feat], axis=-1)
-            flow, feat = DenseDecoder()(xcat)
+            flow, feat = DenseDecoder(dtype=self.dtype)(xcat)
             if lvl > 1:
-                up_flow = Deconv(2, act=False)(flow)
-                up_feat = Deconv(2, act=False)(feat)
+                up_flow = Deconv(2, act=False, dtype=self.dtype)(flow)
+                up_feat = Deconv(2, act=False, dtype=self.dtype)(feat)
             else:
                 flow2, feat2 = flow, feat
 
-        flow2 = flow2 + ContextNetwork()(feat2)
+        flow2 = flow2 + ContextNetwork(dtype=self.dtype)(feat2)
+        # flow outputs in fp32: losses/metrics need full precision
+        flow2 = flow2.astype(jnp.float32)
         h, w = flow2.shape[1] * 4, flow2.shape[2] * 4
         flow1 = resize_bilinear(flow2, h, w, align_corners=True) * 20.0
         return flow1, flow2 * 5.0

@@ -66,7 +66,10 @@ def main():
 
 def _flow_net(models, cfg):
     if cfg.model == "pwc":
-        return models.FlowNetCV(displacement=cfg.displacement)
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        return models.FlowNetCV(displacement=cfg.displacement, dtype=dtype)
     return models.build("flow", cfg.model)
 
 

@@ -52,8 +52,9 @@ def main():
         vgg = (vgg_net.apply, vgg_vars)
 
     if network_type == "flow":
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         net = (
-            models.FlowNetCV(displacement=cfg.displacement)
+            models.FlowNetCV(displacement=cfg.displacement, dtype=dtype)
             if cfg.model == "pwc"
             else models.build("flow", cfg.model)
         )
