@@ -73,8 +73,6 @@ def occlusion_f1(pred, target, threshold: float = 0.5, eps: float = 1e-9):
 def calculate_average_epe(predict_fn, batches):
     """Dataloader-level EPE aggregation (reference flow_utils.py:311-332):
     ``predict_fn(images) -> flow``; batches yield dicts with 'images','flow'."""
-    import numpy as np
-
     total, count = 0.0, 0
     for batch in batches:
         pred = predict_fn(batch["images"])

@@ -13,8 +13,6 @@ f2 shard — bitwise equal to the single-device op.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -60,8 +58,6 @@ def spatial_cost_volume(
 ):
     """Cost volume with H sharded over ``axis_name``: halo-exchange f2's ±d
     rows, correlate locally. Equal to the single-device op."""
-    from ocflow_tpu.ops.cost_volume import cost_volume as cv
-
     d = max_displacement
 
     def local(f1_blk, f2_blk):
@@ -115,7 +111,11 @@ def spatial_warp(
             ) - 0.5
             x = gx
             y = gy - idx * hs + halo
-        out = jax.vmap(_sample_bilinear_zero_pad)(imgh, x, y)
+        hh, wb, cb = imgh.shape[1], imgh.shape[2], imgh.shape[3]
+        meta = (hh, wb, cb, imgh.dtype.name, (hs, w))
+        out = jax.vmap(
+            lambda i, xx2, yy2: _sample_bilinear_zero_pad(i, xx2, yy2, meta)
+        )(imgh, x, y)
         # zero-pad semantics at global image borders: taps that resolve into
         # the zero halo already contribute 0, matching the reference
         return out

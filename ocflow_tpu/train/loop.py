@@ -8,7 +8,6 @@ on ``monitored_loss`` and early stopping (reference test.py:61-76).
 from __future__ import annotations
 
 import os
-import time
 from typing import Callable, Optional
 
 import jax

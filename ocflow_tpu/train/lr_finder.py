@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Callable, Iterable
 
-import jax
 import numpy as np
 import optax
 
