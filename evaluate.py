@@ -23,7 +23,26 @@ def main():
     parser.add_argument("--image_size", type=int, nargs=2, default=None)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--with_fid", action="store_true")
+    parser.add_argument(
+        "--inception_weights",
+        default="",
+        help="npz from ocflow_tpu.metrics.inception.convert_torch_inception "
+        "(the pytorch-fid weights); required for --with_fid",
+    )
+    parser.add_argument(
+        "--allow_random_fid",
+        action="store_true",
+        help="compute FID on RANDOM inception features (relative comparisons "
+        "only; absolute values are meaningless)",
+    )
     args = parser.parse_args()
+
+    if args.with_fid and not args.inception_weights and not args.allow_random_fid:
+        parser.error(
+            "--with_fid needs --inception_weights (convert the pytorch-fid "
+            "checkpoint with ocflow_tpu.metrics.inception.convert_torch_inception); "
+            "pass --allow_random_fid to knowingly compute a random-feature FID"
+        )
 
     import numpy as np
     import jax
@@ -82,7 +101,17 @@ def main():
         results["psnr"] = metrics.calculate_psnr(inpaint, batches)
         results["ssim"] = metrics.calculate_ssim(inpaint, batches)
         if args.with_fid:
-            inc_net, inc_vars = metrics.init_inception(jax.random.PRNGKey(1))
+            import sys
+
+            if not args.inception_weights:
+                print(
+                    "WARNING: computing FID with RANDOM inception features "
+                    "(--allow_random_fid); the absolute value is meaningless",
+                    file=sys.stderr,
+                )
+            inc_net, inc_vars = metrics.init_inception(
+                jax.random.PRNGKey(1), args.inception_weights or None
+            )
 
             @jax.jit
             def extract(imgs):

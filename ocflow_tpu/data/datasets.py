@@ -19,7 +19,7 @@ from typing import Sequence
 import numpy as np
 
 from ocflow_tpu.data.frame_io import read_gen
-from ocflow_tpu.data.flow_io import resize_flow_np
+from ocflow_tpu.data.flow_io import read_kitti_png_flow, resize_flow_np
 from ocflow_tpu.data.occlusion import (
     apply_occlusion,
     free_form_occlusion,
@@ -390,7 +390,58 @@ class SyntheticFlow(Dataset):
         return sample
 
 
+class KITTI2015(_FlowPairDataset):
+    """KITTI-2015 training layout: ``root/image_2/%06d_10.png`` +
+    ``%06d_11.png`` frame pairs with ``root/<flow_type>/%06d_10.png`` 16-bit
+    png flow (u,v scaled by 64 around 2^15, validity in the third channel —
+    reference IO semantics at flow_utils.py:72-79,354-360). ``flow_type`` ∈
+    {'flow_occ' (all valid pixels), 'flow_noc' (non-occluded only)}.
+
+    Returns {'images', 'flow' [H,W,2], 'valid' [H,W,1]}; invalid pixels carry
+    zero flow and valid=0 (KITTI GT is sparse), so losses/metrics must mask
+    by 'valid' (metrics.flow_kitti_error does).
+    """
+
+    def __init__(self, root="", flow_type="flow_occ", replicates=1, image_size=None):
+        image_root = join(root, "image_2")
+        flow_root = join(root, flow_type)
+        files = sorted(glob(join(flow_root, "*_10.png")))
+        image_list, flow_list = [], []
+        for file in files:
+            frame = file[len(flow_root) + 1 : -7]
+            img1 = join(image_root, f"{frame}_10.png")
+            img2 = join(image_root, f"{frame}_11.png")
+            assert isfile(img1), f"Cannot find file: {img1}"
+            assert isfile(img2), f"Cannot find file: {img2}"
+            image_list.append([img1, img2])
+            flow_list.append(file)
+        # flow_list stays None in super(): KITTI flow needs the 16-bit reader
+        super().__init__(image_list, None, None, image_size, replicates)
+        self.kitti_flow_list = flow_list
+
+    def __getitem__(self, index):
+        sample = super().__getitem__(index)
+        index = index % self.size
+        th, tw = self.render_size
+        raw = read_kitti_png_flow(self.kitti_flow_list[index]).astype(np.float32)
+        raw = center_crop(raw, th, tw)
+        flow, valid = raw[..., :2], raw[..., 2:3]
+        if self.image_size:
+            flow = resize_flow_np(flow, *self.image_size)
+            valid = (_resize_img(valid, *self.image_size) > 0.5).astype(np.float32)
+        sample["flow"] = flow * valid  # sparse GT: zero out invalid pixels
+        sample["valid"] = valid
+        return sample
+
+
+class KITTI2015Noc(KITTI2015):
+    def __init__(self, root="", replicates=1, image_size=None):
+        super().__init__(root, "flow_noc", replicates, image_size)
+
+
 DATASET_REGISTRY = {
+    "KITTI2015": KITTI2015,
+    "KITTI2015Noc": KITTI2015Noc,
     "MpiSintelClean": MpiSintelClean,
     "MpiSintelFinal": MpiSintelFinal,
     "MpiSintelOccClean": MpiSintelOccClean,

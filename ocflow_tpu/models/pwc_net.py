@@ -126,7 +126,10 @@ class FlowNetCV(nn.Module):
             corr = nn.leaky_relu(
                 cost_volume(c1n, wn, self.displacement), negative_slope=0.1
             )
-            xcat = jnp.concatenate([corr, c1, up_flow, up_feat], axis=-1)
+            # the reference overwrites c1x with its normalized version before
+            # the decoder concat (cost_volume_flow_net.py:187,190) — the
+            # decoder sees NORMALIZED pyramid features, not raw ones
+            xcat = jnp.concatenate([corr, c1n, up_flow, up_feat], axis=-1)
             flow, feat = DenseDecoder(dtype=self.dtype)(xcat)
             if lvl > 1:
                 up_flow = Deconv(2, act=False, dtype=self.dtype)(flow)

@@ -1,25 +1,67 @@
 """Multi-host initialization (the reference's abandoned DDP scaffolding —
 commented accelerator='ddp' and global_rank guards, SURVEY.md §2.9 — maps to
-jax.distributed + per-host data sharding here)."""
+jax.distributed + per-host data sharding here).
+
+Covered by a real 2-process CPU cluster test (Gloo collectives,
+tests/test_distributed.py) — the JAX analog of a multi-node smoke test.
+"""
 
 from __future__ import annotations
 
+import logging
+
 import jax
 
+log = logging.getLogger(__name__)
 
-def initialize(coordinator_address: str | None = None, **kwargs) -> None:
-    """Initialize multi-host JAX. On single-host setups this is a no-op; on
-    TPU pods jax.distributed discovers the topology from the environment."""
-    if jax.process_count() > 1:
-        return  # already initialized
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> bool:
+    """Initialize multi-host JAX. Returns True if a multi-process runtime is
+    active afterwards.
+
+    - With explicit arguments (coordinator/num_processes/process_id) a failed
+      init RAISES: a typo'd coordinator must not silently degrade a planned
+      multi-host job to single-host.
+    - With no arguments, auto-detection is attempted (TPU pods discover the
+      topology from the environment) and single-process environments fall
+      back cleanly — but the fallback is logged, never silent.
+    """
+    # Don't probe jax.process_count() here: it initializes the XLA backend,
+    # after which jax.distributed.initialize refuses to run. Check the
+    # distributed client state directly instead.
     try:
-        if coordinator_address:
-            jax.distributed.initialize(coordinator_address, **kwargs)
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:
+            return jax.process_count() > 1  # already initialized
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
+        pass
+    explicit = any(v is not None for v in (coordinator_address, num_processes, process_id))
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
         else:
             jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run (no cluster env) — fine
-        pass
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            raise RuntimeError(
+                f"jax.distributed.initialize failed with explicit cluster "
+                f"config (coordinator={coordinator_address!r}, "
+                f"num_processes={num_processes}, process_id={process_id}): {e}"
+            ) from e
+        log.info("single-process run (no cluster env detected): %s", e)
+        return False
+    return jax.process_count() > 1
 
 
 def is_main_process() -> bool:

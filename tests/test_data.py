@@ -115,6 +115,45 @@ def test_flying_chairs2(tmp_path):
     assert s["occ"].shape == (64, 64, 1)
 
 
+def test_kitti2015_dataset(tmp_path):
+    import imageio.v2 as iio
+
+    from ocflow_tpu.data.flow_io import write_kitti_png_flow
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "image_2")
+    os.makedirs(tmp_path / "flow_occ")
+    # KITTI-style: images slightly larger than a /64 multiple (e.g. 375x1242)
+    h, w = 72, 136
+    gt = {}
+    for i in range(3):
+        for suffix in ("10", "11"):
+            iio.imwrite(
+                str(tmp_path / "image_2" / f"{i:06d}_{suffix}.png"),
+                rng.integers(0, 255, (h, w, 3), np.uint8),
+            )
+        flow = rng.uniform(-30, 30, (h, w, 2)).astype(np.float32)
+        write_kitti_png_flow(str(tmp_path / "flow_occ" / f"{i:06d}_10.png"), flow)
+        gt[i] = flow
+
+    ds = data.build_dataset("KITTI2015", root=str(tmp_path))
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["images"].shape == (64, 128, 6)  # center-cropped to /64
+    assert s["flow"].shape == (64, 128, 2)
+    assert s["valid"].shape == (64, 128, 1)
+    assert s["valid"].min() >= 0 and s["valid"].max() == 1.0
+    # 16-bit round trip: 1/64 px quantization
+    crop = gt[0][4 : 4 + 64, 4 : 4 + 128]
+    err = np.abs(s["flow"] - crop * s["valid"]).max()
+    assert err < 1 / 32, err
+
+    ds_small = data.build_dataset("KITTI2015", root=str(tmp_path), image_size=(32, 64))
+    s2 = ds_small[1]
+    assert s2["flow"].shape == (32, 64, 2)
+    assert set(np.unique(s2["valid"])) <= {0.0, 1.0}
+
+
 def test_split_and_loader_determinism():
     ds = data.SyntheticFlow(size=20, image_size=(32, 32))
     train, val, test = data.random_split(ds, (0.8, 0.1, 0.1), seed=42)
