@@ -21,6 +21,7 @@ def main():
     import jax.numpy as jnp
 
     from ocflow_tpu.models import FlowNetCV
+    from ocflow_tpu.models.pwc_fast import fast_apply
 
     on_tpu = jax.default_backend() == "tpu"
     h, w = (448, 1024) if on_tpu else (64, 128)  # CPU fallback for smoke runs
@@ -32,6 +33,14 @@ def main():
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6), jnp.bfloat16))
     variables = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), variables)
 
+    # the fused-Pallas inference path (tested against net.apply in
+    # tests/test_pwc_fast.py) needs W/4 % 128 == 0; fall back to the flax
+    # forward on the CPU smoke shape
+    if on_tpu:
+        apply_fn = lambda v, a: fast_apply(v, a)  # noqa: E731
+    else:
+        apply_fn = lambda v, a: net.apply(v, a)  # noqa: E731
+
     iters = 20 if on_tpu else 2
 
     # N forwards inside ONE jit call, CHAINED through the scan carry: a
@@ -42,7 +51,7 @@ def main():
     @jax.jit
     def forward_n(variables, x):
         def body(carry, _):
-            flow, _ = net.apply(variables, carry)
+            flow, _ = apply_fn(variables, carry)
             delta = jnp.concatenate([flow, flow, flow], axis=-1)
             return carry + delta.astype(carry.dtype) * 1e-6, None
 

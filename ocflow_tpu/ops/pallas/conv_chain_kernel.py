@@ -1,0 +1,314 @@
+"""Fused multi-conv ("conv group") Pallas TPU kernel.
+
+Motivation (PERF.md roofline): the PWC decoder + context block runs at XLA's
+per-conv shape ceiling (~81 TFLOP/s, ~2x under the HBM-bound roofline) and
+the DenseNet concat growth materializes ~1 GB of concatenated activations
+per Sintel-res forward (reference structure:
+/root/reference/models/networks/cost_volume_flow_net.py:90-112,176-183).
+This kernel executes a CHAIN of 3x3 convolutions over a VMEM-resident tile,
+expressing every conv as canonical MXU GEMMs, so
+
+- concat growth is free: each conv output lives in its own VMEM scratch and
+  later convs read multiple blocks (a K-split GEMM per block) instead of a
+  materialized concatenation;
+- intermediate activations never round-trip HBM within a group.
+
+Layout contract (chosen so every slice is Mosaic-aligned):
+
+- Arrays move through the kernel as ``[C (sublane), H*W (lane)]`` per batch
+  element, i.e. channel-major with the flattened spatial dim on lanes.
+- A 3x3 tap (dy, dx) of a dilation-d conv decomposes as
+    out[r, x] += sum_dy  W[dy,dx]^T @ in[r + (dy-1)d, x + (dx-1)d]
+  The dy shift is a LANE SLICE at offset ``row*W`` (aligned whenever W is a
+  multiple of 128); the dx shift is applied on the OUTPUT side as a lane
+  roll of the fp32 partial sum with the columns that crossed a row boundary
+  masked to zero — exact zero-padding semantics. All GEMMs are canonical
+  ``[Cout, K] x [K, M]`` with K = a block's (16-aligned) channel count and
+  M a multiple of 256.
+- Each grid step (b, t) emits ``th`` output rows; chained convs need a halo
+  of ``sum(dilations)`` valid input rows on each side, provided by
+  pre-padding the inputs in HBM (zero rows) and DMA-ing an overlapping
+  ``th + 2*halo`` row window per step.
+
+Constraints: W % 128 == 0, H % th == 0, channel counts padded to a multiple
+of 16 (bf16 sublane tile). The flagship uses this for pyramid levels 2
+(W=256) and 3 (W=128); coarser levels stay on XLA (W < 128).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass(frozen=True)
+class ConvSpec:
+    """One conv in the group.
+
+    reads: block ids this conv consumes. Block ids 0..n_inputs-1 are the
+    kernel inputs; block id n_inputs+j is conv j's output.
+    cout: logical output channels (padded to 16 internally).
+    dilation: tap spacing (stride is always 1, padding SAME-with-zeros).
+    act: apply LeakyReLU(0.1).
+    emit: write this conv's output to HBM.
+    """
+
+    reads: tuple[int, ...]
+    cout: int
+    dilation: int = 1
+    act: bool = True
+    emit: bool = False
+
+
+def _pack_weights(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
+    """[3,3,Cin,Cout] HWIO -> [9*cout_pad, k_pad], rows grouped dy-major.
+
+    Row block ``(dy*3+dx)*cout_pad : +cout_pad`` holds W[dy,dx]^T. The kernel
+    slices a [3*cout_pad, k] dy-group at once, computing the three dx
+    partials in one GEMM (fewer, bigger MXU dispatches).
+    """
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3, "conv_group supports 3x3 kernels"
+    w = jnp.transpose(w_hwio, (0, 1, 3, 2)).reshape(9, cout, cin)
+    w = jnp.pad(w, ((0, 0), (0, cout_pad - cout), (0, k_pad - cin)))
+    return w.reshape(9 * cout_pad, k_pad)
+
+
+def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, valid,
+                 out_ids, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_convs = len(specs)
+    n_weights = sum(len(s.reads) for s in specs)
+    pos = 0
+    in_refs = refs[pos:pos + n_inputs]; pos += n_inputs
+    w_refs = refs[pos:pos + n_weights]; pos += n_weights
+    b_refs = refs[pos:pos + n_convs]; pos += n_convs
+    out_refs = refs[pos:pos + len(out_ids)]; pos += len(out_ids)
+    win_refs = refs[pos:pos + n_inputs]; pos += n_inputs
+    blk_refs = refs[pos:pos + n_convs]; pos += n_convs
+    sems = refs[pos]
+
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    R = th + 2 * halo
+
+    # DMA the input windows (rows [t*th, t*th + R) of the pre-padded inputs)
+    copies = []
+    for i, (src, dst) in enumerate(zip(in_refs, win_refs)):
+        c = pltpu.make_async_copy(
+            src.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
+            dst,
+            sems.at[i],
+        )
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    def block_ref(bid):
+        return win_refs[bid] if bid < n_inputs else blk_refs[bid - n_inputs]
+
+    w_idx = 0
+    for j, spec in enumerate(specs):
+        d = spec.dilation
+        v = valid[n_inputs + j]  # first valid output row within the window
+        m_rows = R - 2 * v
+        m = m_rows * w_lanes
+        cout_pad = _ceil_to(spec.cout, 16)
+        my_w = w_refs[w_idx:w_idx + len(spec.reads)]
+        w_idx += len(spec.reads)
+        # one GEMM per (dy, block) computes all three dx partials at once:
+        # lhs rows are [W[dy,-d]^T; W[dy,0]^T; W[dy,+d]^T]
+        p3 = jnp.zeros((3 * cout_pad, m), jnp.float32)
+        for dyi in range(3):
+            row0 = v + (dyi - 1) * d  # window coords
+            for w_ref, bid in zip(my_w, spec.reads):
+                # block scratches store only their valid rows: row 0 of
+                # block bid is window row valid[bid]
+                rel = row0 - valid[bid]
+                rhs = block_ref(bid)[:, pl.ds(rel * w_lanes, m)]
+                lhs = w_ref[pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
+                p3 += jax.lax.dot_general(
+                    lhs, rhs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = p3[cout_pad:2 * cout_pad, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_lanes
+        for dxi in (0, 2):
+            dx = (dxi - 1) * d
+            p = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
+            # out[., x] += p[., x+dx]: roll left by dx then zero columns
+            # whose source crossed a row boundary (zero-pad semantics)
+            keep = (col < w_lanes - dx) if dx > 0 else (col >= -dx)
+            rolled = pltpu.roll(p, shift=(m - dx) % m, axis=1)
+            acc += jnp.where(keep, rolled, 0.0)
+        acc += b_refs[j][:, :1]
+        if spec.act:
+            acc = jnp.where(acc >= 0, acc, acc * 0.1)
+        blk_refs[j][:, :] = acc.astype(blk_refs[j].dtype)
+
+        # Zero-padding semantics of the chain: each conv's input is the
+        # previous output zero-padded at the IMAGE boundary, but halo rows
+        # outside the image hold conv-of-padding (bias-contaminated) values.
+        # Zero them on the first/last tile so downstream convs read zeros.
+        if halo > v:
+            nz = (halo - v) * w_lanes
+
+            @pl.when(t == 0)
+            def _():
+                blk_refs[j][:, pl.ds(0, nz)] = jnp.zeros(
+                    (cout_pad, nz), blk_refs[j].dtype)
+
+            @pl.when(t == pl.num_programs(1) - 1)
+            def _():
+                blk_refs[j][:, pl.ds((halo + th - v) * w_lanes, nz)] = (
+                    jnp.zeros((cout_pad, nz), blk_refs[j].dtype))
+
+    for o, cid in enumerate(out_ids):
+        src = blk_refs[cid - n_inputs]
+        rel = halo - valid[cid]
+        out_refs[o][0, :, :] = src[:, pl.ds(rel * w_lanes, th * w_lanes)]
+
+
+def conv_group(
+    inputs: Sequence[jax.Array],
+    weights: Sequence[Sequence[jax.Array]],
+    biases: Sequence[jax.Array],
+    specs: Sequence[ConvSpec],
+    h: int,
+    w: int,
+    th: int = 8,
+    interpret: bool = False,
+) -> list[jax.Array]:
+    """Run a fused conv chain.
+
+    inputs: list of [B, C_i, H*W] arrays (flat spatial lanes, C 16-aligned
+            with zero padding).
+    weights: weights[j][r] = [3,3,Cin_r,Cout_j] HWIO for conv j reading
+            specs[j].reads[r].
+    biases: biases[j] = [Cout_j].
+    Returns the emitted conv outputs as [B, Cout_pad, H*W] (channel-padded).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    specs = tuple(specs)
+    n_inputs = len(inputs)
+    assert w % 128 == 0 and h % th == 0
+    bsz = inputs[0].shape[0]
+    dtype = inputs[0].dtype
+
+    # validity: first valid row of each block within a window
+    valid: list[int] = [0] * n_inputs
+    for s in specs:
+        valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
+    out_ids = [n_inputs + j for j, s in enumerate(specs) if s.emit]
+    halo = max(valid[cid] for cid in out_ids)
+    R = th + 2 * halo
+
+    in_ch = [int(x.shape[1]) for x in inputs]
+    for c in in_ch:
+        assert c % 16 == 0, "pad input channels to a multiple of 16"
+
+    # pre-pad rows by halo (zero rows) in HBM
+    padded = [
+        jnp.pad(x.reshape(bsz, x.shape[1], h, w),
+                ((0, 0), (0, 0), (halo, halo), (0, 0))).reshape(
+                    bsz, x.shape[1], (h + 2 * halo) * w)
+        for x in inputs
+    ]
+
+    block_ch = list(in_ch) + [_ceil_to(s.cout, 16) for s in specs]
+    packed_w = []
+    for j, s in enumerate(specs):
+        cp = block_ch[n_inputs + j]
+        for r, bid in enumerate(s.reads):
+            packed_w.append(_pack_weights(weights[j][r], block_ch[bid], cp).astype(dtype))
+    packed_b = [
+        jnp.pad(biases[j].astype(jnp.float32),
+                (0, block_ch[n_inputs + j] - biases[j].shape[0])).reshape(-1, 1)
+        for j in range(len(specs))
+    ]
+
+    kern = functools.partial(
+        _kernel_body, specs=specs, n_inputs=n_inputs, in_ch=in_ch, th=th,
+        halo=halo, w_lanes=w, valid=tuple(valid), out_ids=tuple(out_ids),
+        interpret=interpret,
+    )
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pltpu.VMEM
+    in_specs = (
+        [any_spec] * n_inputs
+        + [pl.BlockSpec(memory_space=vmem)] * len(packed_w)
+        + [pl.BlockSpec(memory_space=vmem)] * len(packed_b)
+    )
+    out_specs = [
+        pl.BlockSpec((1, block_ch[cid], th * w), lambda b, t: (b, 0, t),
+                     memory_space=vmem)
+        for cid in out_ids
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, block_ch[cid], h * w), dtype)
+        for cid in out_ids
+    ]
+    scratch = (
+        [vmem((c, R * w), dtype) for c in in_ch]
+        + [vmem((block_ch[n_inputs + j], (R - 2 * valid[n_inputs + j]) * w), dtype)
+           for j in range(len(specs))]
+        + [pltpu.SemaphoreType.DMA((max(n_inputs, 1),))]
+    )
+
+    flops = 0
+    for j, s in enumerate(specs):
+        mj = (R - 2 * valid[n_inputs + j]) * w
+        k = sum(block_ch[bid] for bid in s.reads)
+        flops += 2 * 9 * block_ch[n_inputs + j] * k * mj
+    flops *= bsz * (h // th)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(bsz, h // th),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=sum(int(np.prod(x.shape)) for x in padded) * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*padded, *packed_w, *packed_b)
+    return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
+def nhwc_to_flat(x: jax.Array, c_pad: int | None = None) -> jax.Array:
+    """[B,H,W,C] -> [B,C_pad,H*W] (channel-major, 16-aligned)."""
+    b, h, w, c = x.shape
+    cp = _ceil_to(c, 16) if c_pad is None else c_pad
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c, h * w)
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0)))
+    return x
+
+
+def flat_to_nhwc(x: jax.Array, h: int, w: int, c: int) -> jax.Array:
+    """[B,C_pad,H*W] -> [B,H,W,c] (drops channel padding)."""
+    b = x.shape[0]
+    return jnp.transpose(x[:, :c].reshape(b, -1, h, w), (0, 2, 3, 1))
