@@ -16,6 +16,10 @@ UNKNOWN_FLOW_THRESH = 1e7
 
 def read_flo(path: str) -> np.ndarray:
     """Read a Middlebury .flo file → [H, W, 2] float32."""
+    from ocflow_tpu.data import native_io
+
+    if native_io.available():
+        return native_io.read_flo(path)
     with open(path, "rb") as f:
         magic = np.frombuffer(f.read(4), np.float32)[0]
         if magic != TAG_FLOAT:
@@ -41,6 +45,10 @@ def write_flo(path: str, flow: np.ndarray) -> None:
 def read_kitti_png_flow(path: str) -> np.ndarray:
     """KITTI flow png: 16-bit BGR; u = (R - 2^15)/64, valid = B
     (reference flow_utils.py:72-79). Returns [H, W, 3] (u, v, valid)."""
+    from ocflow_tpu.data import native_io
+
+    if native_io.available():
+        return native_io.read_kitti_png_flow(path)
     import cv2
 
     raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)

@@ -11,10 +11,17 @@ def read_gen(path: str) -> np.ndarray:
     """Dispatch on extension: png/jpg/jpeg/ppm → image ([H,W,3] uint8-ish),
     .flo → flow, .pfm → data, .bin/.raw → np.load."""
     ext = os.path.splitext(path)[-1].lower()
-    if ext in (".png", ".jpeg", ".ppm", ".jpg"):
-        from imageio.v2 import imread
+    if ext in (".png", ".jpeg", ".ppm", ".jpg", ".pgm"):
+        im = None
+        if ext in (".png", ".ppm", ".pgm"):
+            from ocflow_tpu.data import native_io
 
-        im = np.asarray(imread(path))
+            if native_io.available():
+                im = native_io.read_image(path)  # C++ decoder, GIL-free
+        if im is None:
+            from imageio.v2 import imread
+
+            im = np.asarray(imread(path))
         if im.ndim == 2:
             im = im[..., None]
         elif im.shape[-1] > 3:
