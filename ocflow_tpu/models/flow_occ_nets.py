@@ -28,8 +28,21 @@ from ocflow_tpu.models.pwc_net import SiameseEncoder
 from ocflow_tpu.ops.cost_volume import normalize_features
 from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused as cost_volume
 from ocflow_tpu.ops.resize import resize_bilinear
+
+
 from ocflow_tpu.ops.ste import hard_threshold_ste
 from ocflow_tpu.ops.warp import warp
+
+
+def occlusion_gated_cost_volume(f1, warped, occ, displacement):
+    """Occlusion-gated correlation: the warped frame-2 features are
+    multiplied by the upsampled occlusion estimate BEFORE the cost volume
+    (reference cost_volume_flow_occ_net.py:205,222,239,256). ``occ`` follows
+    the reference's gating convention here — a multiplicative confidence in
+    [0, 1] — which looks inverted next to the 1=occluded mask convention
+    (SURVEY §7 booby-trap). Unit-tested in tests/test_models_semantics.py."""
+    corr = cost_volume(f1, warped * occ, displacement)
+    return nn.leaky_relu(corr, negative_slope=0.1)
 
 
 class SimpleFlowOccNet(nn.Module):
@@ -180,9 +193,8 @@ class FlowOccNetCV(nn.Module):
         flow2 = occ2 = None
         for lvl, scale in zip((4, 3, 2, 1), self.warp_scales):
             warped = warp(f2[lvl], up_flow * scale, align_corners=False)
-            warped = warped * up_occ
-            corr = nn.leaky_relu(
-                cost_volume(f1[lvl], warped, self.displacement), negative_slope=0.1
+            corr = occlusion_gated_cost_volume(
+                f1[lvl], warped, up_occ, self.displacement
             )
             xcat = jnp.concatenate([corr, f1[lvl], up_flow, up_occ, up_feat], axis=-1)
             flow, occ, feat = _DenseFlowOccDecoder()(xcat)
@@ -247,9 +259,8 @@ class FlowOccNetCV2(nn.Module):
         flow2 = occ2 = None
         for lvl, scale in zip((4, 3, 2, 1), self.warp_scales):
             warped = warp(f2[lvl], up_flow * scale, align_corners=False)
-            warped = warped * up_occ
-            corr = nn.leaky_relu(
-                cost_volume(f1[lvl], warped, self.displacement), negative_slope=0.1
+            corr = occlusion_gated_cost_volume(
+                f1[lvl], warped, up_occ, self.displacement
             )
             xcat = jnp.concatenate([corr, f1[lvl], up_flow, up_occ, up_feat], axis=-1)
             flow, occ, feat = _SeparateFlowOccDecoder()(xcat)

@@ -144,15 +144,21 @@ def make_unsupervised_flow_step(hparams: dict):
 
         occ_pred = None
         if occ_aware:
-            # backward flow under stop_gradient (reference no_grad at :381)
+            # Backward flow under stop_gradient (reference no_grad at :381).
+            # torch's no_grad does NOT switch to eval mode: BatchNorm still
+            # normalizes with batch statistics and updates running stats
+            # (model.py:381-386), so the pass runs with train=<train> here
+            # and its stats updates are kept. No-op for the BN-free PWC
+            # flagship.
             back_in = jnp.concatenate([img2, img1], axis=-1)
-            back_flow, _, _ = _apply_flow_net(
+            back_flow, _, new_stats = _apply_flow_net(
                 state,
                 jax.lax.stop_gradient(params),
-                jax.lax.stop_gradient(new_stats) if new_stats else new_stats,
+                jax.lax.stop_gradient(new_stats),
                 back_in,
-                False,
+                train,
             )
+            back_flow = jax.lax.stop_gradient(back_flow)
             occ_pred = jax.lax.stop_gradient(
                 occlusion_from_back_flow(back_flow)
             )
