@@ -63,3 +63,25 @@ def test_normalize_features_per_image(rng):
     n1 = np.asarray(n1)
     assert abs(n1.mean()) < 1e-5
     assert abs(n1.std() - 1.0) < 1e-4
+
+
+def test_pallas_backward_matches_autodiff(rng):
+    """The fused Pallas CV backward == autodiff of the XLA cost volume.
+
+    Runs _bwd_pallas in interpreter mode on shapes meeting the kernel
+    constraints (W lanes, C sublanes)."""
+    import jax
+
+    from ocflow_tpu.ops.pallas import cost_volume_kernel as cvk
+
+    f1 = jnp.asarray(rng.standard_normal((2, 8, 128, 16)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 8, 128, 16)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 8, 128, 81)), jnp.float32)
+
+    def loss(a, b):
+        return jnp.sum(cost_volume(a, b, 4) * g)
+
+    want1, want2 = jax.grad(loss, argnums=(0, 1))(f1, f2)
+    got1, got2 = cvk._bwd_pallas(f1, f2, g, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-3)
