@@ -49,6 +49,13 @@ def main():
 
     @jax.jit
     def predict(x):
+        if args.family == "flow" and args.model == "pwc":
+            # fused Pallas serving path when shapes/backend allow
+            from ocflow_tpu.models.pwc_fast import maybe_fast_apply
+
+            fast = maybe_fast_apply(variables, x)
+            if fast is not None:
+                return fast[0]
         out = net.apply(variables, x)
         if isinstance(out, tuple):
             return out[0]

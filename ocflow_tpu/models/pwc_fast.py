@@ -27,8 +27,11 @@ from ocflow_tpu.ops.cost_volume import normalize_features
 from ocflow_tpu.ops.pallas.conv_chain_kernel import (
     ConvSpec,
     conv_group,
+    conv_group_diff,
     flat_to_nhwc,
     nhwc_to_flat,
+    pack_lanes,
+    unpack_lanes,
 )
 from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused as cost_volume
 from ocflow_tpu.ops.resize import resize_bilinear
@@ -61,6 +64,24 @@ def _deconv(x, params):
     return y + b
 
 
+def _deconv_split(parts, params):
+    """Deconv over a channel-concat, K-split by part: deconv(concat(parts))
+    == sum of per-part deconvs. Skips materializing the DenseNet feature
+    concat in HBM just to feed a 2-channel up-feat deconv."""
+    k = params["ConvTranspose_0"]["kernel"]
+    b = params["ConvTranspose_0"]["bias"]
+    off, y = 0, None
+    for part in parts:
+        cb = part.shape[-1]
+        ks = k[:, :, off:off + cb, :].astype(part.dtype)
+        t = jax.lax.conv_transpose(
+            part, ks, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = t if y is None else y + t
+        off += cb
+    assert off == k.shape[2], (off, k.shape)
+    return y + b.astype(y.dtype)
+
+
 def _encoder(params, x):
     """SiameseEncoder: 6 levels x (stride-2 conv + 2 convs)."""
     feats = []
@@ -68,6 +89,45 @@ def _encoder(params, x):
         for j in range(3):
             cb = params[f"ConvBlock_{lvl * 3 + j}"]["Conv_0"]
             x = _conv(x, cb["kernel"], cb["bias"], stride=2 if j == 0 else 1)
+        feats.append(x)
+    return feats
+
+
+def _encoder_fused(params, x, th=None, interpret=False, diff=False):
+    """SiameseEncoder with each level's stride-1 conv pair fused into one
+    conv-group kernel (lane-packed at the narrow coarse levels). The
+    stride-2 downsampling convs stay on XLA — they carry ~1/9 of the level's
+    FLOPs and the fused kernel is stride-1-only."""
+    feats = []
+    for lvl in range(6):
+        cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
+        x = _conv(x, cb0["kernel"], cb0["bias"], stride=2)
+        b, h, w, c = x.shape
+        pack = _decoder_pack(b, w)
+        cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
+        cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
+        if pack is not None:
+            ws = [[cb1["kernel"]], [cb2["kernel"]]]
+            bs = [cb1["bias"], cb2["bias"]]
+            specs = (ConvSpec(reads=(0,), cout=c, im2col=True),
+                     ConvSpec(reads=(1,), cout=c, im2col=True, emit=True))
+            if diff:
+                x = conv_group_diff(
+                    [x], ws, bs, specs, h, w * pack, _tile_for(h, th),
+                    w if pack > 1 else None, interpret)[1]
+            else:
+                xf = nhwc_to_flat(x)
+                if pack > 1:
+                    xf = pack_lanes(xf, h, w, pack)
+                (out,) = conv_group(
+                    [xf], ws, bs, list(specs), h, w * pack,
+                    th=_tile_for(h, th), w_img=w, interpret=interpret)
+                if pack > 1:
+                    out = unpack_lanes(out, h, w, pack)
+                x = flat_to_nhwc(out, h, w, c)
+        else:
+            x = _conv(x, cb1["kernel"], cb1["bias"])
+            x = _conv(x, cb2["kernel"], cb2["bias"])
         feats.append(x)
     return feats
 
@@ -96,6 +156,11 @@ def _split_newest_first(kernel, block_ch):
     return [w for _, w in sorted(splits, key=lambda t: t[0])]
 
 
+def _tile_for(h: int, th) -> int:
+    """Honor an explicit tile override only when it divides this level's H."""
+    return th if th and h % th == 0 else pick_tile(h)
+
+
 def pick_tile(h: int) -> int:
     """Largest measured-good row tile dividing H (112 -> 56: 175 TFLOP/s on
     v5e vs 75 at th=8; halo recompute shrinks with th)."""
@@ -105,11 +170,22 @@ def pick_tile(h: int) -> int:
     return h
 
 
-def _fused_dense_decoder(dec_params, xcat, th, interpret=False):
+def _decoder_pack(b: int, w: int) -> int | None:
+    """Lane-packing factor for a fused dense decoder at width ``w``; None
+    when the fused path is unusable (width not tileable / batch unsplittable)."""
+    if w >= 128:
+        return 1 if w % 128 == 0 else None
+    if 128 % w == 0 and b % (128 // w) == 0:
+        return 128 // w
+    return None
+
+
+def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False):
     """DenseDecoder as one fused kernel, emitting (flow, feat) like the flax
-    module. Used at pyramid levels whose W is a multiple of 128 but which
-    still need the full feature concat for the up-feat deconv (level 3)."""
+    module. Levels narrower than 128 lanes run lane-PACKED: ``128/W`` batch
+    images side by side per lane row (w_img masking keeps taps in-image)."""
     b, h, w, c0 = xcat.shape
+    pack = _decoder_pack(b, w)
     block_ch = [c0] + list(_GROWTH)
     weights, biases, specs = [], [], []
     for j, g in enumerate(_GROWTH):
@@ -122,16 +198,28 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False):
     biases.append(pf["bias"])
     specs.append(ConvSpec(reads=tuple(range(6)), cout=2, act=False, emit=True))
 
-    outs = conv_group(
-        [nhwc_to_flat(xcat)], weights, biases, specs, h, w, th=th,
-        interpret=interpret)
-    cs = [flat_to_nhwc(o, h, w, g) for o, g in zip(outs[:5], _GROWTH)]
-    flow = flat_to_nhwc(outs[5], h, w, 2)
-    feat = jnp.concatenate(cs[::-1] + [xcat], axis=-1)  # newest first
-    return flow, feat
+    if diff:
+        outs = conv_group_diff(
+            [xcat], weights, biases, tuple(specs), h, w * pack, th,
+            w if pack > 1 else None, interpret)
+        cs, flow = outs[:5], outs[5]
+    else:
+        xf = nhwc_to_flat(xcat)
+        if pack > 1:
+            xf = pack_lanes(xf, h, w, pack)
+        outs = conv_group(
+            [xf], weights, biases, specs, h, w * pack, th=th, w_img=w,
+            interpret=interpret)
+        if pack > 1:
+            outs = [unpack_lanes(o, h, w, pack) for o in outs]
+        cs = [flat_to_nhwc(o, h, w, g) for o, g in zip(outs[:5], _GROWTH)]
+        flow = flat_to_nhwc(outs[5], h, w, 2)
+    parts = list(cs)[::-1] + [xcat]  # newest first; concat never built
+    return flow, parts
 
 
-def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False):
+def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
+                  diff=False):
     """Fused dense decoder + flow head + full context network at level 2.
 
     Returns flow2 (pre-context flow + context residual), NHWC fp32.
@@ -155,6 +243,23 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False):
     biases.append(c1p["bias"])
     specs.append(ConvSpec(reads=tuple(range(6)), cout=128, emit=True))
 
+    if diff:
+        outs = conv_group_diff(
+            [xcat], weights, biases, tuple(specs), h, w, th, None, interpret)
+        flow, y = outs[5], outs[6]
+        for j, (g, d) in enumerate(_CTX[1:], start=1):
+            cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
+            (y,) = conv_group_diff(
+                [y], [[cb["kernel"]]], [cb["bias"]],
+                (ConvSpec(reads=(0,), cout=g, dilation=d, emit=True),),
+                h, w, th, None, interpret)
+        pf = ctx_params["PredictFlow_0"]["Conv_0"]
+        (res,) = conv_group_diff(
+            [y], [[pf["kernel"]]], [pf["bias"]],
+            (ConvSpec(reads=(0,), cout=2, act=False, emit=True),),
+            h, w, th, None, interpret)
+        return flow + res
+
     xf = nhwc_to_flat(xcat)
     flow_f, y = conv_group(
         [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
@@ -176,6 +281,25 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False):
     return flow
 
 
+def maybe_fast_apply(variables: Any, x: jax.Array, diff: bool = False):
+    """``fast_apply`` when the fused path is usable, else None.
+
+    Usable = TPU backend, PWC param tree, and shapes meeting the kernel
+    constraints (W/4 a multiple of 128, H/4 tileable). Lets callers (e.g.
+    train/steps.py) opportunistically use the fused path with a graceful
+    flax fallback; ``diff=True`` returns the differentiable variant (Pallas
+    forward, manual XLA adjoint) for gradient-carrying passes.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    if "SiameseEncoder_0" not in variables.get("params", {}):
+        return None
+    h, w = x.shape[1], x.shape[2]
+    if h % 64 or w % 64 or (w // 4) % 128 or (h // 4) % pick_tile(h // 4):
+        return None
+    return fast_apply(variables, x, diff=diff)
+
+
 def fast_apply(
     variables: Any,
     x: jax.Array,
@@ -184,7 +308,9 @@ def fast_apply(
     normalize: bool = True,
     warp_align_corners: bool = False,
     th: int | None = None,
+    fuse_encoder: bool = True,
     interpret: bool = False,
+    diff: bool = False,
 ):
     """Drop-in fused replacement for ``FlowNetCV().apply(variables, x)``.
 
@@ -195,7 +321,9 @@ def fast_apply(
     im1, im2 = x[..., :3], x[..., 3:]
     b = x.shape[0]
 
-    both = _encoder(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0))
+    enc = _encoder_fused if fuse_encoder else _encoder
+    kw = {"th": th, "interpret": interpret, "diff": diff} if fuse_encoder else {}
+    both = enc(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0), **kw)
     f1 = [f[:b] for f in both]
     f2 = [f[b:] for f in both]
 
@@ -203,9 +331,15 @@ def fast_apply(
     if normalize:
         c16, c26 = normalize_features([c16, c26])
     corr = _leaky(cost_volume(c16, c26, displacement))
-    flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
+    if _decoder_pack(b, corr.shape[2]) is not None:
+        flow, parts = _fused_dense_decoder(
+            p["DenseDecoder_0"], corr, th=_tile_for(corr.shape[1], th),
+            interpret=interpret, diff=diff)
+    else:
+        flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
+        parts = [feat]
     up_flow = _deconv(flow, p["Deconv_0"])
-    up_feat = _deconv(feat, p["Deconv_1"])
+    up_feat = _deconv_split(parts, p["Deconv_1"])
 
     flow2 = None
     for i, (lvl, scale) in enumerate(zip((4, 3, 2, 1), warp_scales)):
@@ -218,18 +352,20 @@ def fast_apply(
         xcat = jnp.concatenate([corr, c1n, up_flow, up_feat], axis=-1)
         if lvl > 1:
             dec = p[f"DenseDecoder_{i + 1}"]
-            if xcat.shape[2] % 128 == 0:  # level 3 at Sintel res
-                flow, feat = _fused_dense_decoder(
-                    dec, xcat, th=th or pick_tile(xcat.shape[1]),
-                    interpret=interpret)
+            if _decoder_pack(b, xcat.shape[2]) is not None:
+                flow, parts = _fused_dense_decoder(
+                    dec, xcat, th=_tile_for(xcat.shape[1], th),
+                    interpret=interpret, diff=diff)
             else:
                 flow, feat = _dense_decoder_xla(dec, xcat)
+                parts = [feat]
             up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
-            up_feat = _deconv(feat, p[f"Deconv_{2 * i + 3}"])
+            up_feat = _deconv_split(parts, p[f"Deconv_{2 * i + 3}"])
         else:
             flow2 = _fused_level2(
                 p["DenseDecoder_4"], p["ContextNetwork_0"], xcat,
-                th=th or pick_tile(xcat.shape[1]), interpret=interpret)
+                th=_tile_for(xcat.shape[1], th), interpret=interpret,
+                diff=diff)
 
     flow2 = flow2.astype(jnp.float32)
     h, w = flow2.shape[1] * 4, flow2.shape[2] * 4

@@ -67,6 +67,11 @@ class ConvSpec:
     dilation: int = 1
     act: bool = True
     emit: bool = False
+    # im2col mode (single-read convs only): build a [9*Cin, M] rhs in VMEM
+    # from 9 shifted masked copies and run ONE GEMM with K = 9*Cin. Wins
+    # when Cin is small (16-64): the per-dy K=Cin GEMMs starve the MXU's
+    # contraction dim, im2col restores K >= 128.
+    im2col: bool = False
 
 
 def _pack_weights(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
@@ -83,8 +88,18 @@ def _pack_weights(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
     return w.reshape(9 * cout_pad, k_pad)
 
 
-def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, valid,
-                 out_ids, interpret):
+def _pack_weights_im2col(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
+    """[3,3,Cin,Cout] HWIO -> [cout_pad, 9*k_pad] for the im2col GEMM:
+    column block ``(dy*3+dx)*k_pad : +k_pad`` holds W[dy,dx] (Cin-major)."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3
+    w = jnp.transpose(w_hwio, (3, 0, 1, 2))  # [Cout, 3, 3, Cin]
+    w = jnp.pad(w, ((0, cout_pad - cout), (0, 0), (0, 0), (0, k_pad - cin)))
+    return w.reshape(cout_pad, 9 * k_pad)
+
+
+def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
+                 valid, out_ids, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -97,6 +112,9 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, valid,
     out_refs = refs[pos:pos + len(out_ids)]; pos += len(out_ids)
     win_refs = refs[pos:pos + n_inputs]; pos += n_inputs
     blk_refs = refs[pos:pos + n_convs]; pos += n_convs
+    has_im2col = any(s.im2col for s in specs)
+    if has_im2col:
+        rhs_ref = refs[pos]; pos += 1
     sems = refs[pos]
 
     t = pl.program_id(1)
@@ -128,32 +146,68 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, valid,
         cout_pad = _ceil_to(spec.cout, 16)
         my_w = w_refs[w_idx:w_idx + len(spec.reads)]
         w_idx += len(spec.reads)
-        # one GEMM per (dy, block) computes all three dx partials at once:
-        # lhs rows are [W[dy,-d]^T; W[dy,0]^T; W[dy,+d]^T]
-        p3 = jnp.zeros((3 * cout_pad, m), jnp.float32)
-        for dyi in range(3):
-            row0 = v + (dyi - 1) * d  # window coords
-            for w_ref, bid in zip(my_w, spec.reads):
-                # block scratches store only their valid rows: row 0 of
-                # block bid is window row valid[bid]
-                rel = row0 - valid[bid]
-                rhs = block_ref(bid)[:, pl.ds(rel * w_lanes, m)]
-                lhs = w_ref[pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
-                p3 += jax.lax.dot_general(
-                    lhs, rhs,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        acc = p3[cout_pad:2 * cout_pad, :]
-        col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_lanes
-        for dxi in (0, 2):
-            dx = (dxi - 1) * d
-            p = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
-            # out[., x] += p[., x+dx]: roll left by dx then zero columns
-            # whose source crossed a row boundary (zero-pad semantics)
-            keep = (col < w_lanes - dx) if dx > 0 else (col >= -dx)
-            rolled = pltpu.roll(p, shift=(m - dx) % m, axis=1)
-            acc += jnp.where(keep, rolled, 0.0)
+        if spec.im2col:
+            # one GEMM with K = 9*Cin: rhs built from 9 shifted masked
+            # copies of the (single) input block
+            bid = spec.reads[0]
+            cb = block_ref(bid).shape[0]
+            colc = jax.lax.broadcasted_iota(jnp.int32, (cb, m), 1) % w_img
+            rdt = rhs_ref.dtype
+            for dyi in range(3):
+                rel = (v + (dyi - 1) * d) - valid[bid]
+                rows = block_ref(bid)[:, pl.ds(rel * w_lanes, m)]
+                # Mosaic can only rotate 32-bit data — roll in fp32
+                # (same pattern as the cost-volume kernel's lane shifts)
+                rows32 = rows.astype(jnp.float32)
+                for dxi in range(3):
+                    dx = (dxi - 1) * d
+                    if dx == 0:
+                        sh = rows
+                    else:
+                        # rhs col x holds in[x+dx]; zero if x+dx leaves
+                        # the image (zero-pad semantics)
+                        keep = (colc < w_img - dx) if dx > 0 else (colc >= -dx)
+                        sh = jnp.where(
+                            keep,
+                            pltpu.roll(rows32, shift=(m - dx) % m, axis=1),
+                            0.0,
+                        ).astype(rdt)
+                    rhs_ref[pl.ds((dyi * 3 + dxi) * cb, cb), pl.ds(0, m)] = sh
+            acc = jax.lax.dot_general(
+                my_w[0][:, :], rhs_ref[pl.ds(0, 9 * cb), pl.ds(0, m)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # one GEMM per (dy, block) computes all three dx partials at
+            # once: lhs rows are [W[dy,-d]^T; W[dy,0]^T; W[dy,+d]^T]
+            p3 = jnp.zeros((3 * cout_pad, m), jnp.float32)
+            for dyi in range(3):
+                row0 = v + (dyi - 1) * d  # window coords
+                for w_ref, bid in zip(my_w, spec.reads):
+                    # block scratches store only their valid rows: row 0 of
+                    # block bid is window row valid[bid]
+                    rel = row0 - valid[bid]
+                    rhs = block_ref(bid)[:, pl.ds(rel * w_lanes, m)]
+                    lhs = w_ref[pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
+                    p3 += jax.lax.dot_general(
+                        lhs, rhs,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            acc = p3[cout_pad:2 * cout_pad, :]
+            # dx-roll masking at IMAGE boundaries: when several images are
+            # packed side by side on lanes (w_img < w_lanes), a tap must not
+            # cross from one image into its lane neighbor
+            col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_img
+            for dxi in (0, 2):
+                dx = (dxi - 1) * d
+                p = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
+                # out[., x] += p[., x+dx]: roll left by dx then zero columns
+                # whose source crossed a row boundary (zero-pad semantics)
+                keep = (col < w_img - dx) if dx > 0 else (col >= -dx)
+                rolled = pltpu.roll(p, shift=(m - dx) % m, axis=1)
+                acc += jnp.where(keep, rolled, 0.0)
         acc += b_refs[j][:, :1]
         if spec.act:
             acc = jnp.where(acc >= 0, acc, acc * 0.1)
@@ -190,6 +244,7 @@ def conv_group(
     h: int,
     w: int,
     th: int = 8,
+    w_img: int | None = None,
     interpret: bool = False,
 ) -> list[jax.Array]:
     """Run a fused conv chain.
@@ -199,6 +254,9 @@ def conv_group(
     weights: weights[j][r] = [3,3,Cin_r,Cout_j] HWIO for conv j reading
             specs[j].reads[r].
     biases: biases[j] = [Cout_j].
+    w_img: image width when several images are packed side by side on the
+            lane dim (``w`` = pack * w_img); dx taps are masked at image
+            boundaries. Defaults to ``w`` (one image per lane row).
     Returns the emitted conv outputs as [B, Cout_pad, H*W] (channel-padded).
     """
     from jax.experimental import pallas as pl
@@ -206,7 +264,9 @@ def conv_group(
 
     specs = tuple(specs)
     n_inputs = len(inputs)
-    assert w % 128 == 0 and h % th == 0
+    if w_img is None:
+        w_img = w
+    assert w % 128 == 0 and h % th == 0 and w % w_img == 0
     bsz = inputs[0].shape[0]
     dtype = inputs[0].dtype
 
@@ -234,6 +294,11 @@ def conv_group(
     packed_w = []
     for j, s in enumerate(specs):
         cp = block_ch[n_inputs + j]
+        if s.im2col:
+            assert len(s.reads) == 1, "im2col supports single-read convs"
+            packed_w.append(_pack_weights_im2col(
+                weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
+            continue
         for r, bid in enumerate(s.reads):
             packed_w.append(_pack_weights(weights[j][r], block_ch[bid], cp).astype(dtype))
     packed_b = [
@@ -244,8 +309,8 @@ def conv_group(
 
     kern = functools.partial(
         _kernel_body, specs=specs, n_inputs=n_inputs, in_ch=in_ch, th=th,
-        halo=halo, w_lanes=w, valid=tuple(valid), out_ids=tuple(out_ids),
-        interpret=interpret,
+        halo=halo, w_lanes=w, w_img=w_img, valid=tuple(valid),
+        out_ids=tuple(out_ids), interpret=interpret,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -268,8 +333,14 @@ def conv_group(
         [vmem((c, R * w), dtype) for c in in_ch]
         + [vmem((block_ch[n_inputs + j], (R - 2 * valid[n_inputs + j]) * w), dtype)
            for j in range(len(specs))]
-        + [pltpu.SemaphoreType.DMA((max(n_inputs, 1),))]
     )
+    im2col_specs = [(j, s) for j, s in enumerate(specs) if s.im2col]
+    if im2col_specs:
+        k_max = max(9 * block_ch[s.reads[0]] for _, s in im2col_specs)
+        m_max = max(
+            (R - 2 * valid[n_inputs + j]) * w for j, _ in im2col_specs)
+        scratch.append(vmem((k_max, m_max), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((max(n_inputs, 1),)))
 
     flops = 0
     for j, s in enumerate(specs):
@@ -296,6 +367,141 @@ def conv_group(
         interpret=interpret,
     )(*padded, *packed_w, *packed_b)
     return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, manual XLA backward
+# ---------------------------------------------------------------------------
+
+
+def _single_conv(x, w, b, dilation, act):
+    """One conv in NHWC (XLA), matching the kernel's semantics."""
+    pad = dilation
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b.astype(x.dtype)
+    return jnp.where(y >= 0, y, 0.1 * y) if act else y
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def conv_group_diff(inputs, weights, biases, specs, h, w, th, w_img=None,
+                    interpret=False):
+    """Differentiable fused conv chain.
+
+    Forward = the Pallas ``conv_group`` kernel (TPU); backward = a manual
+    XLA adjoint over the emitted block activations (every block is emitted
+    as a residual, so nothing is rematerialized: din flows through
+    transposed convs, dW/db through single-conv VJPs — the exact ops XLA's
+    own autodiff would emit, fed by the kernel's activations).
+
+    inputs/outputs use the NHWC convention of the flax modules; flat-layout
+    conversion happens inside. Returns every conv's output (NHWC, logical
+    channels) — callers pick what they need; XLA DCEs unused emissions only
+    on the non-diff path, so prefer ``conv_group`` for inference.
+    """
+    outs, _ = _diff_fwd_impl(
+        inputs, weights, biases, specs, h, w, th, w_img, interpret)
+    return outs
+
+
+def _diff_fwd_impl(inputs, weights, biases, specs, h, w, th, w_img, interpret):
+    emit_all = tuple(
+        ConvSpec(reads=s.reads, cout=s.cout, dilation=s.dilation, act=s.act,
+                 emit=True, im2col=s.im2col)
+        for s in specs
+    )
+    pack = 1
+    if w_img is not None and w_img != w:
+        pack = w // w_img
+    flat_inputs = []
+    for x in inputs:
+        xf = nhwc_to_flat(x)
+        if pack > 1:
+            xf = pack_lanes(xf, h, w_img, pack)
+        flat_inputs.append(xf)
+    outs_f = conv_group(
+        flat_inputs, weights, biases, emit_all, h, w, th=th, w_img=w_img,
+        interpret=interpret)
+    acts = []
+    for o, s in zip(outs_f, emit_all):
+        if pack > 1:
+            o = unpack_lanes(o, h, w_img, pack)
+        acts.append(flat_to_nhwc(o, h, w_img if pack > 1 else w, s.cout))
+    return acts, (inputs, weights, acts)
+
+
+def _diff_fwd(inputs, weights, biases, specs, h, w, th, w_img, interpret):
+    acts, res = _diff_fwd_impl(
+        inputs, weights, biases, specs, h, w, th, w_img, interpret)
+    return acts, res
+
+
+def _diff_bwd(specs, h, w, th, w_img, interpret, res, gouts):
+    inputs, weights, acts = res
+    n_inputs = len(inputs)
+
+    def block_val(bid):
+        return inputs[bid] if bid < n_inputs else acts[bid - n_inputs]
+
+    gblk = {}
+    dws = [None] * len(specs)
+    dbs = [None] * len(specs)
+    for j in reversed(range(len(specs))):
+        s = specs[j]
+        g = gouts[j].astype(jnp.float32)
+        if (n_inputs + j) in gblk:
+            g = g + gblk.pop(n_inputs + j)
+        if s.act:
+            cj = acts[j]
+            g = g * jnp.where(cj >= 0, 1.0, 0.1).astype(jnp.float32)
+        dbs[j] = jnp.sum(g, axis=(0, 1, 2)).astype(biases_dtype(weights, j))
+        dacc = g.astype(block_val(s.reads[0]).dtype)
+        dwj = []
+        for r, bid in enumerate(s.reads):
+            x_b = block_val(bid)
+            _, vjp = jax.vjp(
+                lambda xx, ww: _single_conv(xx, ww, jnp.zeros(
+                    (s.cout,), x_b.dtype), s.dilation, False),
+                x_b, weights[j][r])
+            dx_b, dw_br = vjp(dacc)
+            dwj.append(dw_br.astype(weights[j][r].dtype))
+            prev = gblk.get(bid)
+            dx_b = dx_b.astype(jnp.float32)
+            gblk[bid] = dx_b if prev is None else prev + dx_b
+        dws[j] = dwj
+    dins = [
+        gblk.get(r, jnp.zeros_like(inputs[r], jnp.float32)).astype(
+            inputs[r].dtype)
+        for r in range(n_inputs)
+    ]
+    return dins, dws, dbs
+
+
+def biases_dtype(weights, j):
+    return weights[j][0].dtype
+
+
+conv_group_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+def pack_lanes(x: jax.Array, h: int, w: int, pack: int) -> jax.Array:
+    """[B, C, H*W] -> [B/pack, C, H*(pack*W)]: ``pack`` batch images laid
+    side by side on lanes (row r = [imgA row r | imgB row r | ...]).
+    Pass ``w_img=w`` to conv_group so taps stay within each image."""
+    b, c, _ = x.shape
+    assert b % pack == 0
+    x = x.reshape(b // pack, pack, c, h, w)
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b // pack, c, h * pack * w)
+
+
+def unpack_lanes(x: jax.Array, h: int, w: int, pack: int) -> jax.Array:
+    """Inverse of pack_lanes."""
+    bp, c, _ = x.shape
+    x = x.reshape(bp, c, h, pack, w)
+    return jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(bp * pack, c, h * w)
 
 
 def nhwc_to_flat(x: jax.Array, c_pad: int | None = None) -> jax.Array:

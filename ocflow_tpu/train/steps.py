@@ -137,9 +137,26 @@ def make_unsupervised_flow_step(hparams: dict):
     def loss_fn(state, params, batch_stats, batch, train):
         imgs = batch["images"]
         img1, img2 = imgs[..., :3], imgs[..., 3:]
-        flow_pred, flow_l2, new_stats = _apply_flow_net(
-            state, params, batch_stats, imgs, train
-        )
+        out = None
+        if is_pwc and not batch_stats:
+            # Fused-kernel forward for the gradient-carrying pass: Pallas
+            # kernels with a manual XLA adjoint (custom VJP), grad-parity
+            # tested vs the flax module in tests/test_pwc_fast.py. None
+            # off-TPU or when shapes miss the kernel constraints.
+            from ocflow_tpu.models.precision import cast_floating, resolve_dtype
+            from ocflow_tpu.models.pwc_fast import maybe_fast_apply
+
+            cdt = resolve_dtype(hparams.get("compute_dtype"))
+            pc = cast_floating(params, cdt) if cdt is not None else params
+            xi = cast_floating(imgs, cdt) if cdt is not None else imgs
+            out = maybe_fast_apply({"params": pc}, xi, diff=True)
+        if out is not None:
+            flow_pred, flow_l2 = out
+            new_stats = batch_stats
+        else:
+            flow_pred, flow_l2, new_stats = _apply_flow_net(
+                state, params, batch_stats, imgs, train
+            )
         img_warped = warp(img2, flow_pred, align_corners=True)
 
         occ_pred = None
@@ -151,13 +168,34 @@ def make_unsupervised_flow_step(hparams: dict):
             # and its stats updates are kept. No-op for the BN-free PWC
             # flagship.
             back_in = jnp.concatenate([img2, img1], axis=-1)
-            back_flow, _, new_stats = _apply_flow_net(
-                state,
-                jax.lax.stop_gradient(params),
-                jax.lax.stop_gradient(new_stats),
-                back_in,
-                train,
-            )
+            back_flow = None
+            if is_pwc and not batch_stats:
+                # The pass carries no gradients, so the fused Pallas
+                # inference path (no VJP) is legal here; None off-TPU or
+                # when shapes miss the kernel constraints.
+                from ocflow_tpu.models.precision import (
+                    cast_floating,
+                    resolve_dtype,
+                )
+                from ocflow_tpu.models.pwc_fast import maybe_fast_apply
+
+                cdt = resolve_dtype(hparams.get("compute_dtype"))
+                sp = jax.lax.stop_gradient(params)
+                bi = back_in
+                if cdt is not None:
+                    sp = cast_floating(sp, cdt)
+                    bi = cast_floating(bi, cdt)
+                fast = maybe_fast_apply({"params": sp}, bi)
+                if fast is not None:
+                    back_flow = fast[0].astype(back_in.dtype)
+            if back_flow is None:
+                back_flow, _, new_stats = _apply_flow_net(
+                    state,
+                    jax.lax.stop_gradient(params),
+                    jax.lax.stop_gradient(new_stats),
+                    back_in,
+                    train,
+                )
             back_flow = jax.lax.stop_gradient(back_flow)
             occ_pred = jax.lax.stop_gradient(
                 occlusion_from_back_flow(back_flow)

@@ -67,8 +67,9 @@ def test_conv_group_dense_chain_and_dilated():
 def test_fast_apply_matches_flax():
     rng = np.random.default_rng(1)
     # smallest size meeting the fused-path constraints: W/4 >= 128,
-    # H/4 divisible by th
-    B, H, W = 1, 64, 512
+    # H/4 divisible by th; B=2 so the level-3 (W=64) decoder exercises
+    # the lane-packed fused path
+    B, H, W = 2, 64, 512
     net = FlowNetCV()
     x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), x)
@@ -78,3 +79,150 @@ def test_fast_apply_matches_flax():
         np.asarray(fast_quarter), np.asarray(ref_quarter), atol=2e-4)
     np.testing.assert_allclose(
         np.asarray(fast_full), np.asarray(ref_full), atol=2e-3)
+
+
+def test_conv_group_lane_packed():
+    """Packed-lane mode (several images side by side on lanes) == per-image
+    convs, including zero-padding at each image's left/right boundary."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import pack_lanes, unpack_lanes
+
+    rng = np.random.default_rng(2)
+    B, H, W, pack = 4, 8, 64, 2
+    c0 = 16
+    x = jnp.asarray(rng.normal(size=(B, H, W, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+
+    ref = _conv_ref(_conv_ref(x, w1, b1), w2, b2)
+
+    xf = pack_lanes(nhwc_to_flat(x), H, W, pack)
+    (out,) = conv_group(
+        [xf], [[w1], [w2]], [b1, b2],
+        [ConvSpec(reads=(0,), cout=16),
+         ConvSpec(reads=(1,), cout=16, emit=True)],
+        H, pack * W, th=4, w_img=W, interpret=True)
+    got = flat_to_nhwc(unpack_lanes(out, H, W, pack), H, W, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_conv_group_im2col_mode():
+    """im2col single-GEMM mode == p3 mode == XLA, incl. dilation and packed
+    lanes (image-boundary masking on the input side)."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import pack_lanes, unpack_lanes
+
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 8, 128
+    c0 = 16
+    x = jnp.asarray(rng.normal(size=(B, H, W, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 16, 24)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+    ref = _conv_ref(_conv_ref(x, w1, b1), w2, b2)
+
+    (out,) = conv_group(
+        [nhwc_to_flat(x)], [[w1], [w2]], [b1, b2],
+        [ConvSpec(reads=(0,), cout=16, im2col=True),
+         ConvSpec(reads=(1,), cout=24, im2col=True, emit=True)],
+        H, W, th=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(flat_to_nhwc(out, H, W, 24)), np.asarray(ref), atol=1e-4)
+
+    # dilated im2col
+    wd = jnp.asarray(rng.normal(size=(3, 3, c0, 16)) * 0.1, jnp.float32)
+    yd = _conv_ref(x, wd, b1, d=2)
+    (od,) = conv_group(
+        [nhwc_to_flat(x)], [[wd]], [b1],
+        [ConvSpec(reads=(0,), cout=16, dilation=2, im2col=True, emit=True)],
+        H, W, th=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(flat_to_nhwc(od, H, W, 16)), np.asarray(yd), atol=1e-4)
+
+    # packed lanes: two 64-wide images per lane row
+    xw = x[:, :, :64, :]
+    refp = _conv_ref(xw, w1, b1)
+    xf = pack_lanes(nhwc_to_flat(xw), H, 64, 2)
+    (op,) = conv_group(
+        [xf], [[w1]], [b1],
+        [ConvSpec(reads=(0,), cout=16, im2col=True, emit=True)],
+        H, 128, th=4, w_img=64, interpret=True)
+    got = flat_to_nhwc(unpack_lanes(op, H, 64, 2), H, 64, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(refp), atol=1e-4)
+
+
+def test_conv_group_diff_grads_match_autodiff():
+    """conv_group_diff (Pallas fwd + manual XLA bwd from saved activations)
+    == jax.grad of an equivalent XLA conv chain: dinputs, dweights, dbiases."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import conv_group_diff
+
+    rng = np.random.default_rng(4)
+    B, H, W = 2, 8, 128
+    c0 = 16
+    x = jnp.asarray(rng.normal(size=(B, H, W, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 24)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+    w2a = jnp.asarray(rng.normal(size=(3, 3, c0, 16)) * 0.1, jnp.float32)
+    w2b = jnp.asarray(rng.normal(size=(3, 3, 24, 16)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    gseed = jnp.asarray(rng.normal(size=(B, H, W, 16)), jnp.float32)
+    g1seed = jnp.asarray(rng.normal(size=(B, H, W, 24)), jnp.float32)
+    specs = (ConvSpec(reads=(0,), cout=24, emit=True),
+             ConvSpec(reads=(0, 1), cout=16, dilation=2, emit=True))
+
+    def ref_loss(xx, ws, bs):
+        c1 = _conv_ref(xx, ws[0][0], bs[0])
+        c2 = _conv_ref(jnp.concatenate([xx, c1], -1),
+                       jnp.concatenate([ws[1][0], ws[1][1]], 2), bs[1], d=2)
+        return jnp.sum(c2 * gseed) + jnp.sum(c1 * g1seed)
+
+    def fast_loss(xx, ws, bs):
+        c1, c2 = conv_group_diff(
+            [xx], ws, bs, specs, H, W, 4, None, True)
+        return jnp.sum(c2 * gseed) + jnp.sum(c1 * g1seed)
+
+    ws = [[w1], [w2a, w2b]]
+    bs = [b1, b2]
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(x, ws, bs)
+    got = jax.grad(fast_loss, argnums=(0, 1, 2))(x, ws, bs)
+    for wleaf, gleaf in zip(jax.tree_util.tree_leaves(want),
+                            jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(gleaf), np.asarray(wleaf), atol=5e-3, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fast_apply_diff_grads_match_flax():
+    """The differentiable fused path (diff=True): loss grads wrt params match
+    jax.grad through the flax module."""
+    import flax
+
+    rng = np.random.default_rng(5)
+    B, H, W = 1, 64, 512
+    net = FlowNetCV()
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)), jnp.float32)
+
+    def loss_flax(params):
+        f1, f2 = net.apply({"params": params}, x)
+        return jnp.mean((f1 - tgt) ** 2) + jnp.mean(f2**2)
+
+    def loss_fast(params):
+        f1, f2 = fast_apply(
+            {"params": params}, x, th=8, interpret=True, diff=True)
+        return jnp.mean((f1 - tgt) ** 2) + jnp.mean(f2**2)
+
+    l0, gw = jax.value_and_grad(loss_flax)(variables["params"])
+    l1, gf = jax.value_and_grad(loss_fast)(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    flat_w = flax.traverse_util.flatten_dict(gw)
+    flat_f = flax.traverse_util.flatten_dict(gf)
+    assert set(flat_w) == set(flat_f)
+    for k in flat_w:
+        a, b = np.asarray(flat_w[k]), np.asarray(flat_f[k])
+        scale = max(1e-3, float(np.abs(a).max()))
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-3,
+            err_msg=f"grad mismatch at {'/'.join(k)}")
