@@ -243,41 +243,28 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
     biases.append(c1p["bias"])
     specs.append(ConvSpec(reads=tuple(range(6)), cout=128, emit=True))
 
+    # The dilated context chain (no concat growth) runs at near-peak as
+    # plain XLA convs (measured 0.19-0.31 ms per 128ch conv vs 1-1.9 ms in
+    # the kernel) — only the dense part + ctx conv 1 (which reads the VMEM
+    # concat) stay fused.
+    def _ctx_rest(y):
+        for j, (g, d) in enumerate(_CTX[1:], start=1):
+            cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
+            y = _conv(y, cb["kernel"], cb["bias"], dilation=d)
+        pf = ctx_params["PredictFlow_0"]["Conv_0"]
+        return _conv(y, pf["kernel"], pf["bias"], act=False)
+
     if diff:
         outs = conv_group_diff(
             [xcat], weights, biases, tuple(specs), h, w, th, None, interpret)
         flow, y = outs[5], outs[6]
-        for j, (g, d) in enumerate(_CTX[1:], start=1):
-            cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
-            (y,) = conv_group_diff(
-                [y], [[cb["kernel"]]], [cb["bias"]],
-                (ConvSpec(reads=(0,), cout=g, dilation=d, emit=True),),
-                h, w, th, None, interpret)
-        pf = ctx_params["PredictFlow_0"]["Conv_0"]
-        (res,) = conv_group_diff(
-            [y], [[pf["kernel"]]], [pf["bias"]],
-            (ConvSpec(reads=(0,), cout=2, act=False, emit=True),),
-            h, w, th, None, interpret)
-        return flow + res
+        return flow + _ctx_rest(y)
 
     xf = nhwc_to_flat(xcat)
     flow_f, y = conv_group(
         [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
-
-    # remaining context convs (dilated) as single fused convs
-    for j, (g, d) in enumerate(_CTX[1:], start=1):
-        cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
-        (y,) = conv_group(
-            [y], [[cb["kernel"]]], [cb["bias"]],
-            [ConvSpec(reads=(0,), cout=g, dilation=d, emit=True)],
-            h, w, th=th, interpret=interpret)
-    pf = ctx_params["PredictFlow_0"]["Conv_0"]
-    (res_f,) = conv_group(
-        [y], [[pf["kernel"]]], [pf["bias"]],
-        [ConvSpec(reads=(0,), cout=2, act=False, emit=True)],
-        h, w, th=th, interpret=interpret)
-
-    flow = flat_to_nhwc(flow_f, h, w, 2) + flat_to_nhwc(res_f, h, w, 2)
+    res = _ctx_rest(flat_to_nhwc(y, h, w, 128))
+    flow = flat_to_nhwc(flow_f, h, w, 2) + res
     return flow
 
 

@@ -98,20 +98,33 @@ def _pack_weights_im2col(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Ar
     return w.reshape(cout_pad, 9 * k_pad)
 
 
-def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
-                 valid, out_ids, interpret):
+def _is_contig(reads: tuple[int, ...]) -> bool:
+    return all(b == reads[0] + i for i, b in enumerate(reads))
+
+
+def _kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
+                 valid, offs, out_ids, interpret):
+    """Shared-stripe kernel: ALL blocks live in ONE VMEM scratch ``S`` of
+    shape [C_total, R*W], block ``bid`` at channel rows
+    ``offs[bid]:offs[bid+1]``, spatial data at its WINDOW-row position.
+    Because reads are always within the producing block's valid span, a
+    conv reading a consecutive block range is ONE dy-GEMM over the whole
+    range (K = sum of the range's channels) — small later blocks no longer
+    starve the MXU contraction dim."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_convs = len(specs)
-    n_weights = sum(len(s.reads) for s in specs)
+    n_weights = sum(
+        1 if (s.im2col or _is_contig(s.reads)) else len(s.reads)
+        for s in specs
+    )
     pos = 0
     in_refs = refs[pos:pos + n_inputs]; pos += n_inputs
     w_refs = refs[pos:pos + n_weights]; pos += n_weights
     b_refs = refs[pos:pos + n_convs]; pos += n_convs
     out_refs = refs[pos:pos + len(out_ids)]; pos += len(out_ids)
-    win_refs = refs[pos:pos + n_inputs]; pos += n_inputs
-    blk_refs = refs[pos:pos + n_convs]; pos += n_convs
+    S = refs[pos]; pos += 1
     has_im2col = any(s.im2col for s in specs)
     if has_im2col:
         rhs_ref = refs[pos]; pos += 1
@@ -121,21 +134,18 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
     b = pl.program_id(0)
     R = th + 2 * halo
 
-    # DMA the input windows (rows [t*th, t*th + R) of the pre-padded inputs)
+    # DMA the input windows into their stripes
     copies = []
-    for i, (src, dst) in enumerate(zip(in_refs, win_refs)):
+    for i, src in enumerate(in_refs):
         c = pltpu.make_async_copy(
             src.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
-            dst,
+            S.at[pl.ds(offs[i], offs[i + 1] - offs[i]), :],
             sems.at[i],
         )
         c.start()
         copies.append(c)
     for c in copies:
         c.wait()
-
-    def block_ref(bid):
-        return win_refs[bid] if bid < n_inputs else blk_refs[bid - n_inputs]
 
     w_idx = 0
     for j, spec in enumerate(specs):
@@ -144,18 +154,19 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
         m_rows = R - 2 * v
         m = m_rows * w_lanes
         cout_pad = _ceil_to(spec.cout, 16)
-        my_w = w_refs[w_idx:w_idx + len(spec.reads)]
-        w_idx += len(spec.reads)
+        contig = spec.im2col or _is_contig(spec.reads)
+        my_w = w_refs[w_idx:w_idx + (1 if contig else len(spec.reads))]
+        w_idx += 1 if contig else len(spec.reads)
         if spec.im2col:
             # one GEMM with K = 9*Cin: rhs built from 9 shifted masked
             # copies of the (single) input block
             bid = spec.reads[0]
-            cb = block_ref(bid).shape[0]
+            cb = offs[bid + 1] - offs[bid]
             colc = jax.lax.broadcasted_iota(jnp.int32, (cb, m), 1) % w_img
             rdt = rhs_ref.dtype
             for dyi in range(3):
-                rel = (v + (dyi - 1) * d) - valid[bid]
-                rows = block_ref(bid)[:, pl.ds(rel * w_lanes, m)]
+                row0 = v + (dyi - 1) * d
+                rows = S[pl.ds(offs[bid], cb), pl.ds(row0 * w_lanes, m)]
                 # Mosaic can only rotate 32-bit data — roll in fp32
                 # (same pattern as the cost-volume kernel's lane shifts)
                 rows32 = rows.astype(jnp.float32)
@@ -179,16 +190,22 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
                 preferred_element_type=jnp.float32,
             )
         else:
-            # one GEMM per (dy, block) computes all three dx partials at
-            # once: lhs rows are [W[dy,-d]^T; W[dy,0]^T; W[dy,+d]^T]
+            # one GEMM per dy over the whole (consecutive) read range:
+            # lhs rows are [W[dy,-d]^T; W[dy,0]^T; W[dy,+d]^T], K = range C
             p3 = jnp.zeros((3 * cout_pad, m), jnp.float32)
+            if contig:
+                k0 = offs[spec.reads[0]]
+                K = offs[spec.reads[-1] + 1] - k0
+                ranges = [(my_w[0], k0, K)]
+            else:
+                ranges = [
+                    (wr, offs[bid], offs[bid + 1] - offs[bid])
+                    for wr, bid in zip(my_w, spec.reads)
+                ]
             for dyi in range(3):
                 row0 = v + (dyi - 1) * d  # window coords
-                for w_ref, bid in zip(my_w, spec.reads):
-                    # block scratches store only their valid rows: row 0 of
-                    # block bid is window row valid[bid]
-                    rel = row0 - valid[bid]
-                    rhs = block_ref(bid)[:, pl.ds(rel * w_lanes, m)]
+                for w_ref, k0, K in ranges:
+                    rhs = S[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
                     lhs = w_ref[pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
                     p3 += jax.lax.dot_general(
                         lhs, rhs,
@@ -211,7 +228,8 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
         acc += b_refs[j][:, :1]
         if spec.act:
             acc = jnp.where(acc >= 0, acc, acc * 0.1)
-        blk_refs[j][:, :] = acc.astype(blk_refs[j].dtype)
+        oj = offs[n_inputs + j]
+        S[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, m)] = acc.astype(S.dtype)
 
         # Zero-padding semantics of the chain: each conv's input is the
         # previous output zero-padded at the IMAGE boundary, but halo rows
@@ -222,18 +240,18 @@ def _kernel_body(*refs, specs, n_inputs, in_ch, th, halo, w_lanes, w_img,
 
             @pl.when(t == 0)
             def _():
-                blk_refs[j][:, pl.ds(0, nz)] = jnp.zeros(
-                    (cout_pad, nz), blk_refs[j].dtype)
+                S[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, nz)] = jnp.zeros(
+                    (cout_pad, nz), S.dtype)
 
             @pl.when(t == pl.num_programs(1) - 1)
             def _():
-                blk_refs[j][:, pl.ds((halo + th - v) * w_lanes, nz)] = (
-                    jnp.zeros((cout_pad, nz), blk_refs[j].dtype))
+                S[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
+                    jnp.zeros((cout_pad, nz), S.dtype))
 
     for o, cid in enumerate(out_ids):
-        src = blk_refs[cid - n_inputs]
-        rel = halo - valid[cid]
-        out_refs[o][0, :, :] = src[:, pl.ds(rel * w_lanes, th * w_lanes)]
+        ch = offs[cid + 1] - offs[cid]
+        out_refs[o][0, :, :] = S[
+            pl.ds(offs[cid], ch), pl.ds(halo * w_lanes, th * w_lanes)]
 
 
 def conv_group(
@@ -291,6 +309,9 @@ def conv_group(
     ]
 
     block_ch = list(in_ch) + [_ceil_to(s.cout, 16) for s in specs]
+    offs = [0]
+    for c in block_ch:
+        offs.append(offs[-1] + c)
     packed_w = []
     for j, s in enumerate(specs):
         cp = block_ch[n_inputs + j]
@@ -299,8 +320,15 @@ def conv_group(
             packed_w.append(_pack_weights_im2col(
                 weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
             continue
-        for r, bid in enumerate(s.reads):
-            packed_w.append(_pack_weights(weights[j][r], block_ch[bid], cp).astype(dtype))
+        per_block = [
+            _pack_weights(weights[j][r], block_ch[bid], cp).astype(dtype)
+            for r, bid in enumerate(s.reads)
+        ]
+        if _is_contig(s.reads):
+            # one lhs over the whole stripe range: K-concat in read order
+            packed_w.append(jnp.concatenate(per_block, axis=1))
+        else:
+            packed_w.extend(per_block)
     packed_b = [
         jnp.pad(biases[j].astype(jnp.float32),
                 (0, block_ch[n_inputs + j] - biases[j].shape[0])).reshape(-1, 1)
@@ -308,9 +336,9 @@ def conv_group(
     ]
 
     kern = functools.partial(
-        _kernel_body, specs=specs, n_inputs=n_inputs, in_ch=in_ch, th=th,
+        _kernel_body, specs=specs, n_inputs=n_inputs, th=th,
         halo=halo, w_lanes=w, w_img=w_img, valid=tuple(valid),
-        out_ids=tuple(out_ids), interpret=interpret,
+        offs=tuple(offs), out_ids=tuple(out_ids), interpret=interpret,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -329,11 +357,7 @@ def conv_group(
         jax.ShapeDtypeStruct((bsz, block_ch[cid], h * w), dtype)
         for cid in out_ids
     ]
-    scratch = (
-        [vmem((c, R * w), dtype) for c in in_ch]
-        + [vmem((block_ch[n_inputs + j], (R - 2 * valid[n_inputs + j]) * w), dtype)
-           for j in range(len(specs))]
-    )
+    scratch = [vmem((offs[-1], R * w), dtype)]  # shared block stripes
     im2col_specs = [(j, s) for j, s in enumerate(specs) if s.im2col]
     if im2col_specs:
         k_max = max(9 * block_ch[s.reads[0]] for _, s in im2col_specs)
