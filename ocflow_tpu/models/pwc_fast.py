@@ -93,35 +93,10 @@ def _encoder(params, x):
     return feats
 
 
-def _s2d_ch(x):
-    """2x2 space-to-depth: [B,H,W,C] -> [B,H/2,W/2,4C]; channel block
-    p = 2*qy + qx holds the (row-parity qy, col-parity qx) plane."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-        b, h // 2, w // 2, 4 * c)
-
-
-def _lift_s2(kernel):
-    """Lift a stride-2 3x3 kernel [3,3,C,Co] to a stride-1 3x3 kernel
-    [3,3,4C,Co] over the s2d input: output pixel (i,x) of the stride-2
-    conv reads fine (2i+dy-1, 2x+dx-1) = plane (qy,qx) at coarse offset
-    (kr-1, kc-1), with (kr, qy) from divmod(dy-1, 2)+... Exactness tested
-    in tests/test_pwc_fast.py."""
-    c, co = kernel.shape[2], kernel.shape[3]
-    wl = jnp.zeros((3, 3, 2, 2, c, co), kernel.dtype)
-    for dy in range(3):
-        off_y, qy = divmod(dy - 1, 2)  # coarse offset in {-1, 0}
-        for dx in range(3):
-            off_x, qx = divmod(dx - 1, 2)
-            wl = wl.at[off_y + 1, off_x + 1, qy, qx].add(kernel[dy, dx])
-    return wl.reshape(3, 3, 4 * c, co)
-
-
 def _enc_tile(h: int, w_lanes: int, k_max: int) -> int:
-    """Largest tile whose im2col rhs stays under ~40 MB."""
+    """Largest tile whose im2col rhs stays under ~40 MB (VMEM is 128 MB;
+    big tiles measured 3-5x faster for the small-C encoder pairs)."""
     budget = 40 * 1024 * 1024
-    best = None
     for th in (h, 112, 56, 28, 16, 14, 8, 7, 4):
         if th <= h and h % th == 0 and k_max * (th + 6) * w_lanes * 2 <= budget:
             return th
@@ -129,48 +104,44 @@ def _enc_tile(h: int, w_lanes: int, k_max: int) -> int:
 
 
 def _encoder_fused(params, x, th=None, interpret=False, diff=False):
-    """SiameseEncoder with each LEVEL (stride-2 conv + 2 convs) as ONE
-    conv-group kernel: the stride-2 conv is lifted to a stride-1 conv over
-    the 2x2 space-to-depth input (exact; zeros in the lifted kernel), and
-    all three convs run im2col (K = 9*Cin) over big tiles. Narrow coarse
-    levels lane-pack several batch images per row."""
+    """SiameseEncoder with each level's stride-1 conv pair fused into one
+    big-tile im2col conv-group kernel (lane-packed at the narrow coarse
+    levels). The stride-2 convs stay on XLA: every alternative measured
+    (space-to-depth lifts in NHWC and flat layouts, stride-1+subsample,
+    in-kernel deinterleaving) came out equal or worse end-to-end — XLA's
+    small-C stride-2 convs are the encoder's stubborn ~5 ms floor."""
     feats = []
     for lvl in range(6):
         cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
+        x = _conv(x, cb0["kernel"], cb0["bias"], stride=2)
+        b, h, w, c = x.shape
+        pack = _decoder_pack(b, w)
         cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
         cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
-        c = cb0["kernel"].shape[3]
-        b, hin, win, _ = x.shape
-        h, w = hin // 2, win // 2
-        pack = _decoder_pack(b, w)
-        if pack is None:
-            x = _conv(x, cb0["kernel"], cb0["bias"], stride=2)
+        if pack is not None:
+            ws = [[cb1["kernel"]], [cb2["kernel"]]]
+            bs = [cb1["bias"], cb2["bias"]]
+            specs = (ConvSpec(reads=(0,), cout=c, im2col=True),
+                     ConvSpec(reads=(1,), cout=c, im2col=True, emit=True))
+            k_max = 9 * _ceil16(c)
+            tt = th if (th and h % th == 0) else _enc_tile(h, w * pack, k_max)
+            if diff:
+                x = conv_group_diff(
+                    [x], ws, bs, specs, h, w * pack, tt,
+                    w if pack > 1 else None, interpret)[1]
+            else:
+                xf = nhwc_to_flat(x)
+                if pack > 1:
+                    xf = pack_lanes(xf, h, w, pack)
+                (out,) = conv_group(
+                    [xf], ws, bs, list(specs), h, w * pack,
+                    th=tt, w_img=w, interpret=interpret)
+                if pack > 1:
+                    out = unpack_lanes(out, h, w, pack)
+                x = flat_to_nhwc(out, h, w, c)
+        else:
             x = _conv(x, cb1["kernel"], cb1["bias"])
             x = _conv(x, cb2["kernel"], cb2["bias"])
-            feats.append(x)
-            continue
-        xs = _s2d_ch(x)
-        ws = [[_lift_s2(cb0["kernel"])], [cb1["kernel"]], [cb2["kernel"]]]
-        bs = [cb0["bias"], cb1["bias"], cb2["bias"]]
-        specs = (ConvSpec(reads=(0,), cout=c, im2col=True),
-                 ConvSpec(reads=(1,), cout=c, im2col=True),
-                 ConvSpec(reads=(2,), cout=c, im2col=True, emit=True))
-        k_max = 9 * _ceil16(xs.shape[-1])
-        tt = th if (th and h % th == 0) else _enc_tile(h, w * pack, k_max)
-        if diff:
-            x = conv_group_diff(
-                [xs], ws, bs, specs, h, w * pack, tt,
-                w if pack > 1 else None, interpret)[2]
-        else:
-            xf = nhwc_to_flat(xs)
-            if pack > 1:
-                xf = pack_lanes(xf, h, w, pack)
-            (out,) = conv_group(
-                [xf], ws, bs, list(specs), h, w * pack,
-                th=tt, w_img=w, interpret=interpret)
-            if pack > 1:
-                out = unpack_lanes(out, h, w, pack)
-            x = flat_to_nhwc(out, h, w, c)
         feats.append(x)
     return feats
 

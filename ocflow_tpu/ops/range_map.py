@@ -40,21 +40,26 @@ def compute_range_map(flow: jax.Array) -> jax.Array:
     offset = (coords - floor).reshape(b, h * w, 2)
     floor = floor.astype(jnp.int32).reshape(b, h * w, 2)
 
-    def splat_one(floor_i, offset_i):
-        counts = jnp.zeros((h * w,), dtype=flow.dtype)
-        for di in (0, 1):
-            for dj in (0, 1):
-                ix = floor_i[:, 0] + di  # x → width
-                iy = floor_i[:, 1] + dj  # y → height
-                valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-                wx = (1.0 - di) - ((-1.0) ** di) * offset_i[:, 0]
-                wy = (1.0 - dj) - ((-1.0) ** dj) * offset_i[:, 1]
-                weights = wx * wy * valid.astype(flow.dtype)
-                idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-                counts = counts.at[idx].add(weights)
-        return counts
+    # ONE flat-index scatter-add per image with all 4 taps concatenated
+    # (measured faster than 4 sequential scatters; windowed scatters crash
+    # the TPU worker at scale — flat indices only)
+    idxs, wts = [], []
+    for di in (0, 1):
+        for dj in (0, 1):
+            ix = floor[..., 0] + di  # x → width
+            iy = floor[..., 1] + dj  # y → height
+            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            wx = (1.0 - di) - ((-1.0) ** di) * offset[..., 0]
+            wy = (1.0 - dj) - ((-1.0) ** dj) * offset[..., 1]
+            wts.append(wx * wy * valid.astype(flow.dtype))
+            idxs.append(jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1))
+    idx = jnp.concatenate(idxs, axis=1)  # [B, 4HW]
+    wt = jnp.concatenate(wts, axis=1)
 
-    counts = jax.vmap(splat_one)(floor, offset)
+    def splat_one(idx_i, wt_i):
+        return jnp.zeros((h * w,), dtype=flow.dtype).at[idx_i].add(wt_i)
+
+    counts = jax.vmap(splat_one)(idx, wt)
     return counts.reshape(b, h, w, 1)
 
 

@@ -125,6 +125,12 @@ def make_unsupervised_flow_step(hparams: dict):
     with_occ = hparams.get("with_occ", False)
     occ_aware = hparams.get("occ_aware", False)
     is_pwc = hparams.get("model", "simple") == "pwc"
+    # fused-kernel usage inside the step: 'both' (default) runs the fused
+    # Pallas path for the gradient-carrying forward AND the no-grad
+    # backward-flow pass; 'backward' only for the no-grad pass (smaller
+    # compiled program — some serving stacks cap executable size);
+    # 'off' uses the flax module throughout.
+    fast_mode = hparams.get("fast_forward", "both")
     # 'charbonnier' (reference parity) or 'census' (extension; the driver
     # north star lists photometric+census — BASELINE.json)
     photo_loss = hparams.get("photo_loss", "charbonnier")
@@ -138,7 +144,7 @@ def make_unsupervised_flow_step(hparams: dict):
         imgs = batch["images"]
         img1, img2 = imgs[..., :3], imgs[..., 3:]
         out = None
-        if is_pwc and not batch_stats:
+        if fast_mode == "both" and is_pwc and not batch_stats:
             # Fused-kernel forward for the gradient-carrying pass: Pallas
             # kernels with a manual XLA adjoint (custom VJP), grad-parity
             # tested vs the flax module in tests/test_pwc_fast.py. None
@@ -169,7 +175,7 @@ def make_unsupervised_flow_step(hparams: dict):
             # flagship.
             back_in = jnp.concatenate([img2, img1], axis=-1)
             back_flow = None
-            if is_pwc and not batch_stats:
+            if fast_mode in ("both", "backward") and is_pwc and not batch_stats:
                 # The pass carries no gradients, so the fused Pallas
                 # inference path (no VJP) is legal here; None off-TPU or
                 # when shapes miss the kernel constraints.
