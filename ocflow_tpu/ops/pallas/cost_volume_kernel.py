@@ -167,20 +167,27 @@ def _bwd_kernel(g_ref, f2p_ref, f1p_ref, gp_ref, df1_ref, df2_ref, *,
         off = 2 * d - i
         rows1 = f1p_ref[0, pl.ds(hh * chunk + off, chunk), :, :].astype(
             jnp.float32)  # [chunk, C, W+2d]
+        # gp layout [1, rows, nk, lanes] (rows OUTER — dynamic sublane
+        # starts would need provable 8-alignment); the per-k selection
+        # happens at VALUE level, like g[k] in the df1 path
+        gpw = gp_ref[0, pl.ds(hh * chunk + off, chunk), :, :].astype(
+            jnp.float32)  # [chunk, nk, W+2d]
         for j in range(n):
             k = i * n + j
             # df1 += g_k * f2p(y+i, x+j): lane shift j on f2p rows
             sh2 = rows2 if j == 0 else pltpu.roll(rows2, shift=wp - j, axis=2)
             acc1 += g[k][:, None, :] * sh2[:, :, :width]
             # df2 += (gp_k · f1p)(y+2d-i, x+2d-j): lane shift (2d-j)
-            gk = gp_ref[0, k, pl.ds(hh * chunk + off, chunk), :].astype(
-                jnp.float32)  # [chunk, W+2d]
-            prod = gk[:, None, :] * rows1
+            prod = gpw[:, k, :][:, None, :] * rows1
             sj = 2 * d - j
             shp = prod if sj == 0 else pltpu.roll(prod, shift=wp - sj, axis=2)
             acc2 += shp[:, :, :width]
     df1_ref[0, :, :, :] = (acc1 * inv_c).astype(df1_ref.dtype)
     df2_ref[0, :, :, :] = (acc2 * inv_c).astype(df2_ref.dtype)
+
+
+_BWD_VMEM_BUDGET = 100 * 1024 * 1024  # v5e VMEM is 128 MB
+_USE_PALLAS_BWD = False  # see _bwd: Mosaic layout constraints, WIP
 
 
 def _pick_bwd_chunk(h: int, w: int, c: int, d: int, itemsize: int):
@@ -202,7 +209,7 @@ def _pick_bwd_chunk(h: int, w: int, c: int, d: int, itemsize: int):
             + nk * th * w * 4  # g fp32 copy
             + 4 * th * c * wp * 4  # rows fp32 + rolled copies + prod
         )
-        if fixed + per <= _VMEM_BUDGET:
+        if fixed + per <= _BWD_VMEM_BUDGET:
             return th
     return None
 
@@ -219,7 +226,9 @@ def _bwd_pallas(f1, f2, g, max_displacement: int, interpret: bool = False):
     assert th is not None
 
     gt = jnp.transpose(g, (0, 3, 1, 2))  # [B, nk, H, W]
-    gp = jnp.pad(gt, ((0, 0), (0, 0), (d, d), (d, d)))
+    gp = jnp.pad(
+        jnp.transpose(g, (0, 1, 3, 2)), ((0, 0), (d, d), (0, 0), (d, d))
+    )  # [B, H+2d, nk, W+2d] — rows outer
     f1p = jnp.pad(
         jnp.transpose(f1, (0, 1, 3, 2)), ((0, 0), (d, d), (0, 0), (d, d)))
     f2p = jnp.pad(
@@ -238,7 +247,7 @@ def _bwd_pallas(f1, f2, g, max_displacement: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             full((1, h + 2 * d, c, w + 2 * d)),
             full((1, h + 2 * d, c, w + 2 * d)),
-            full((1, nk, h + 2 * d, w + 2 * d)),
+            full((1, h + 2 * d, nk, w + 2 * d)),
         ],
         out_specs=[
             pl.BlockSpec((1, th, c, w), lambda i, hh: (i, hh, 0, 0),
@@ -283,15 +292,27 @@ def _fwd(f1, f2, max_displacement):
 
 def _bwd(max_displacement, residuals, g):
     """Backward: fused Pallas kernel on TPU (one VMEM-resident pass over the
-    81 shifts for BOTH grads), else the XLA mirror below — parallel
+    81 shifts for BOTH grads), else the XLA mirror — parallel
     pad+static-slice+add shifts (a chained dynamic_update_slice formulation
     compiles pathologically slowly)."""
     f1, f2 = residuals
-    if jax.default_backend() == "tpu" and _pick_bwd_chunk(
+    # The Pallas backward below is interpreter-correct but does not yet
+    # compile efficiently on real TPUs: the per-shift gradient slices sit
+    # on the sublane dim (dynamic sublane starts need provable 8-alignment
+    # -> Mosaic rejects), and the value-level workaround materializes the
+    # whole [chunk, 81, W+2d] gradient window per dy (347 MB VMEM at PWC
+    # level 3). Until the gradient layout is redesigned (e.g. nk on lanes
+    # with a 128-pad, or a flat rows*lanes layout with width padded to a
+    # lane multiple), the XLA mirror is both correct and adequate.
+    if _USE_PALLAS_BWD and jax.default_backend() == "tpu" and _pick_bwd_chunk(
         f1.shape[1], f1.shape[2], f1.shape[3], max_displacement,
         f1.dtype.itemsize,
     ) is not None:
         return _bwd_pallas(f1, f2, g, max_displacement)
+    return _bwd_xla_mirror(max_displacement, f1, f2, g)
+
+
+def _bwd_xla_mirror(max_displacement, f1, f2, g):
     b, h, w, c = f1.shape
     d = max_displacement
     n = 2 * d + 1
