@@ -125,12 +125,13 @@ def make_unsupervised_flow_step(hparams: dict):
     with_occ = hparams.get("with_occ", False)
     occ_aware = hparams.get("occ_aware", False)
     is_pwc = hparams.get("model", "simple") == "pwc"
-    # fused-kernel usage inside the step: 'both' (default) runs the fused
-    # Pallas path for the gradient-carrying forward AND the no-grad
-    # backward-flow pass; 'backward' only for the no-grad pass (smaller
-    # compiled program — some serving stacks cap executable size);
-    # 'off' uses the flax module throughout.
-    fast_mode = hparams.get("fast_forward", "both")
+    # fused-kernel usage inside the step: 'backward' (default) runs the
+    # fused Pallas inference path for the no-grad backward-flow pass;
+    # 'both' additionally uses the differentiable fused path for the
+    # gradient-carrying forward — opt-in because the combined program
+    # exceeds the 2 GiB AOT executable-serialization cap of some stacks
+    # (e.g. the axon TPU relay); 'off' uses the flax module throughout.
+    fast_mode = hparams.get("fast_forward", "backward")
     # 'charbonnier' (reference parity) or 'census' (extension; the driver
     # north star lists photometric+census — BASELINE.json)
     photo_loss = hparams.get("photo_loss", "charbonnier")
