@@ -297,6 +297,12 @@ def maybe_fast_apply(variables: Any, x: jax.Array, diff: bool = False):
     """
     if jax.default_backend() != "tpu":
         return None
+    if jax.device_count() > 1:
+        # Pallas calls inside a pjit-sharded step have no partitioning
+        # rules yet — multi-chip training stays on the flax path (the
+        # kernels are per-chip local; wiring shard_map around them is a
+        # later optimization).
+        return None
     if "SiameseEncoder_0" not in variables.get("params", {}):
         return None
     h, w = x.shape[1], x.shape[2]
