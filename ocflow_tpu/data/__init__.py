@@ -14,7 +14,7 @@ from ocflow_tpu.data.occlusion import (
     free_form_occlusion,
     apply_occlusion,
 )
-from ocflow_tpu.data.datasets import DATASET_REGISTRY, SyntheticFlow
+from ocflow_tpu.data.datasets import DATASET_REGISTRY, SyntheticFlow, SyntheticFlowWarp
 from ocflow_tpu.data.pipeline import (
     DataLoader,
     random_split,
@@ -36,6 +36,7 @@ __all__ = [
     "apply_occlusion",
     "DATASET_REGISTRY",
     "SyntheticFlow",
+    "SyntheticFlowWarp",
     "DataLoader",
     "random_split",
     "prefetch",

@@ -85,7 +85,12 @@ int ppm_parse(const uint8_t* buf, int64_t len, PpmHeader* hdr) {
   if (p < 0) return -2;
   p = ppm_int(buf, len, p, &hdr->maxval);
   if (p < 0 || hdr->maxval > 255) return -3;
-  // exactly one whitespace char after maxval
+  // exactly one whitespace char after maxval; a non-whitespace delimiter
+  // (e.g. a \r\n-terminated header) would silently shift all pixel data by
+  // one byte, so fail loudly instead
+  if (p >= len || !(buf[p] == ' ' || buf[p] == '\t' || buf[p] == '\n' ||
+                    buf[p] == '\r' || buf[p] == '\v' || buf[p] == '\f'))
+    return -5;
   hdr->data_off = p + 1;
   int64_t need = (int64_t)hdr->w * hdr->h * hdr->channels;
   if (hdr->data_off + need > len) return -4;

@@ -390,6 +390,78 @@ class SyntheticFlow(Dataset):
         return sample
 
 
+class SyntheticFlowWarp(Dataset):
+    """Procedural pairs with a smooth non-rigid GT flow field.
+
+    Unlike ``SyntheticFlow`` (constant integer shift), each sample draws a
+    random affine motion plus a band-limited random deformation, and builds
+    img1 by INVERSE-warping img2 through the field: img1(p) = img2(p + F(p)),
+    the exact relation the repo's backward ``ops.warp`` assumes, so GT EPE
+    is well-defined and photometric losses have a true optimum at F. Serves
+    as the real-shaped stand-in for FlyingChairs-style data in this
+    zero-egress environment (no dataset files can be downloaded); texture =
+    multi-scale smoothed noise so the photometric loss has a multi-pixel
+    convergence basin.
+    """
+
+    def __init__(self, size=512, image_size=(448, 1024), max_shift=16.0,
+                 seed=0, with_occ=False):
+        self.size = size
+        self.image_size = image_size
+        self.max_shift = float(max_shift)
+        self.seed = seed
+        self.with_occ = with_occ
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        import cv2
+
+        rng = np.random.default_rng((self.seed, index % self.size))
+        h, w = self.image_size
+
+        # multi-octave texture in [-1, 1]
+        img2 = np.zeros((h, w, 3), np.float32)
+        for sigma, amp in ((2.0, 1.0), (6.0, 1.5), (18.0, 2.0)):
+            img2 += cv2.GaussianBlur(
+                rng.uniform(-1, 1, (h, w, 3)).astype(np.float32),
+                (0, 0), sigma) * amp * sigma
+        img2 = np.clip(img2 / np.abs(img2).max() * 1.6, -1.0, 1.0)
+
+        # flow = affine (translation + small rotation/zoom) + smooth field
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        tx, ty = rng.uniform(-self.max_shift, self.max_shift, 2)
+        rot = rng.uniform(-0.02, 0.02)
+        zoom = rng.uniform(-0.02, 0.02)
+        u = tx + zoom * (xx - cx) - rot * (yy - cy)
+        v = ty + zoom * (yy - cy) + rot * (xx - cx)
+        for sigma, amp in ((24.0, 4.0), (64.0, 8.0)):
+            u += cv2.GaussianBlur(
+                rng.uniform(-1, 1, (h, w)).astype(np.float32),
+                (0, 0), sigma) * amp * sigma / 8.0
+            v += cv2.GaussianBlur(
+                rng.uniform(-1, 1, (h, w)).astype(np.float32),
+                (0, 0), sigma) * amp * sigma / 8.0
+        flow = np.stack([u, v], axis=-1)
+
+        # img1(p) = img2(p + F(p)); out-of-view samples get border replicate
+        # (photometric loss there is noise either way)
+        img1 = cv2.remap(
+            img2, np.ascontiguousarray(xx + u, np.float32),
+            np.ascontiguousarray(yy + v, np.float32), cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_REPLICATE)
+
+        sample = {
+            "images": np.concatenate([img1, img2], axis=-1),
+            "flow": flow.astype(np.float32),
+        }
+        if self.with_occ:
+            sample["occ"] = np.zeros((h, w, 1), np.float32)
+        return sample
+
+
 class KITTI2015(_FlowPairDataset):
     """KITTI-2015 training layout: ``root/image_2/%06d_10.png`` +
     ``%06d_11.png`` frame pairs with ``root/<flow_type>/%06d_10.png`` 16-bit
@@ -456,4 +528,5 @@ DATASET_REGISTRY = {
     "ImagesFromFolder": ImagesFromFolder,
     "ImgFlowOccFromFolder": ImgFlowOccFromFolder,
     "SyntheticFlow": SyntheticFlow,
+    "SyntheticFlowWarp": SyntheticFlowWarp,
 }

@@ -17,7 +17,13 @@ def read_gen(path: str) -> np.ndarray:
             from ocflow_tpu.data import native_io
 
             if native_io.available():
-                im = native_io.read_image(path)  # C++ decoder, GIL-free
+                try:
+                    im = native_io.read_image(path)  # C++ decoder, GIL-free
+                except ValueError:
+                    # Files the native decoder recognizes but rejects (16-bit
+                    # PPMs, pngs libpng errors on) still get a shot at the
+                    # imageio path below.
+                    im = None
         if im is None:
             from imageio.v2 import imread
 

@@ -27,13 +27,25 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a temp file and os.replace() it into place so the .so
+    # appears atomically: concurrent processes (pytest workers, multi-process
+    # launches) must never dlopen a partially written library.
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(_LIB))
+    os.close(fd)
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lpng", "-lz",
+        "g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC, "-lpng", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
