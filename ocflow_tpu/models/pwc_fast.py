@@ -18,6 +18,7 @@ against the flax forward in tests/test_pwc_fast.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -108,16 +109,19 @@ def _encoder_fused(params, x, th=None, interpret=False, diff=False):
     big-tile im2col conv-group kernel (lane-packed at the narrow coarse
     levels). The stride-2 convs stay on XLA: every alternative measured
     (space-to-depth lifts in NHWC and flat layouts, stride-1+subsample,
-    in-kernel deinterleaving) came out equal or worse end-to-end — XLA's
-    small-C stride-2 convs are the encoder's stubborn ~5 ms floor."""
+    in-kernel deinterleaving, and the round-3 parity-phase stride-2 kernel
+    — kernel-only fast at 1.9 ms/level but the XLA-side phase splits cost
+    7 ms up front + 2.1 ms/level, 33 vs 9 ms end-to-end) came out equal or
+    worse — XLA's small-C stride-2 convs are the encoder's stubborn ~5 ms
+    floor (PERF.md)."""
     feats = []
     for lvl in range(6):
         cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
+        cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
+        cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
         x = _conv(x, cb0["kernel"], cb0["bias"], stride=2)
         b, h, w, c = x.shape
         pack = _decoder_pack(b, w)
-        cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
-        cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
         if pack is not None:
             ws = [[cb1["kernel"]], [cb2["kernel"]]]
             bs = [cb1["bias"], cb2["bias"]]
@@ -130,11 +134,11 @@ def _encoder_fused(params, x, th=None, interpret=False, diff=False):
                     [x], ws, bs, specs, h, w * pack, tt,
                     w if pack > 1 else None, interpret)[1]
             else:
-                xf = nhwc_to_flat(x)
+                xp = nhwc_to_flat(x)
                 if pack > 1:
-                    xf = pack_lanes(xf, h, w, pack)
+                    xp = pack_lanes(xp, h, w, pack)
                 (out,) = conv_group(
-                    [xf], ws, bs, list(specs), h, w * pack,
+                    [xp], ws, bs, list(specs), h, w * pack,
                     th=tt, w_img=w, interpret=interpret)
                 if pack > 1:
                     out = unpack_lanes(out, h, w, pack)
@@ -238,7 +242,7 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False):
 
 def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
                   diff=False):
-    """Fused dense decoder + flow head + full context network at level 2.
+    """Fused dense decoder + flow head + context conv 1 at level 2.
 
     Returns flow2 (pre-context flow + context residual), NHWC fp32.
     """
@@ -261,10 +265,14 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
     biases.append(c1p["bias"])
     specs.append(ConvSpec(reads=tuple(range(6)), cout=128, emit=True))
 
-    # The dilated context chain (no concat growth) runs at near-peak as
-    # plain XLA convs (measured 0.19-0.31 ms per 128ch conv vs 1-1.9 ms in
-    # the kernel) — only the dense part + ctx conv 1 (which reads the VMEM
-    # concat) stay fused.
+    # The dilated context chain (no concat growth) stays on XLA: measured
+    # near-peak there (0.19-0.31 ms per 128ch conv), while in-kernel
+    # dilated convs pay the per-dy K=128 GEMM split plus the d=8/16 halo
+    # recompute (R/th up to 2.9x). The round-3 two-kernel split (halo 12 +
+    # halo 26, dc3 round-tripped through HBM) was built and measured:
+    # 30.3 ms vs 28.0 ms end-to-end — the layout round trips it removes
+    # are cheaper than the halo recompute it adds. Only the dense part +
+    # ctx conv 1 (which reads the VMEM concat) stay fused.
     def _ctx_rest(y):
         for j, (g, d) in enumerate(_CTX[1:], start=1):
             cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
@@ -286,28 +294,72 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
     return flow
 
 
-def maybe_fast_apply(variables: Any, x: jax.Array, diff: bool = False):
+def fast_apply_sharded(
+    variables: Any,
+    x: jax.Array,
+    mesh,
+    axis: str = "data",
+    **kw,
+):
+    """``fast_apply`` wrapped in shard_map over the mesh's data axis.
+
+    The fused kernels are per-example, so multi-chip serving/training is
+    pure spec plumbing: params replicated, batch split over ``axis``, each
+    device running the single-chip kernel program on its local shard. Works
+    inside jit/grad (shard_map composes with both; the replicated-params
+    transpose inserts the gradient psum automatically).
+
+    Normalization note: normalize_features collapses feature moments across
+    the local batch (reference correlation_layer.py:66-68), so each shard
+    normalizes over its own sub-batch — the same semantics as the torch
+    reference under DDP, where every replica sees only its local batch.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(fast_apply, **kw)
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,  # Pallas calls defeat the varying-manual-axes checker
+    )(variables, x)
+
+
+def maybe_fast_apply(
+    variables: Any, x: jax.Array, diff: bool = False, mesh=None,
+    axis: str = "data",
+):
     """``fast_apply`` when the fused path is usable, else None.
 
     Usable = TPU backend, PWC param tree, and shapes meeting the kernel
-    constraints (W/4 a multiple of 128, H/4 tileable). Lets callers (e.g.
-    train/steps.py) opportunistically use the fused path with a graceful
-    flax fallback; ``diff=True`` returns the differentiable variant (Pallas
-    forward, manual XLA adjoint) for gradient-carrying passes.
+    constraints (W/4 a multiple of 128). Lets callers (e.g. train/steps.py)
+    opportunistically use the fused path with a graceful flax fallback;
+    ``diff=True`` returns the differentiable variant (Pallas forward, manual
+    XLA adjoint) for gradient-carrying passes.
+
+    On a multi-device backend the kernels run under shard_map with the batch
+    split over ``mesh``'s ``axis`` (defaulting to a 1-D mesh over all
+    devices), so the fused path survives real meshes instead of silently
+    falling back to flax.
     """
     if jax.default_backend() != "tpu":
-        return None
-    if jax.device_count() > 1:
-        # Pallas calls inside a pjit-sharded step have no partitioning
-        # rules yet — multi-chip training stays on the flax path (the
-        # kernels are per-chip local; wiring shard_map around them is a
-        # later optimization).
         return None
     if "SiameseEncoder_0" not in variables.get("params", {}):
         return None
     h, w = x.shape[1], x.shape[2]
-    if h % 64 or w % 64 or (w // 4) % 128 or (h // 4) % pick_tile(h // 4):
+    if h % 64 or w % 64 or (w // 4) % 128:
         return None
+    if mesh is None and jax.device_count() > 1:
+        from ocflow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        axis = "data"
+    if mesh is not None and mesh.size > 1:
+        if x.shape[0] % mesh.size:
+            return None
+        return fast_apply_sharded(variables, x, mesh, axis, diff=diff)
     return fast_apply(variables, x, diff=diff)
 
 

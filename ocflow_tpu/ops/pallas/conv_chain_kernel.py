@@ -294,6 +294,10 @@ def conv_group(
         valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
     out_ids = [n_inputs + j for j, s in enumerate(specs) if s.emit]
     halo = max(valid[cid] for cid in out_ids)
+    # The first/last-tile zeroing of conv-of-padding halo rows assumes an
+    # interior tile's window never crosses an image edge: halo <= th.
+    assert halo <= th or h <= th, (
+        f"halo {halo} > tile {th}: grow th or split the chain")
     R = th + 2 * halo
 
     in_ch = [int(x.shape[1]) for x in inputs]

@@ -193,6 +193,82 @@ def test_conv_group_diff_grads_match_autodiff():
 
 
 @pytest.mark.slow
+def test_fast_apply_sharded_matches_per_shard():
+    """shard_map'd fused path on a 2-device mesh == per-shard fast_apply
+    (VERDICT r2 #3: the kernels are per-example, multi-chip is spec plumbing).
+
+    The comparison is against per-SHARD (not full-batch) applies because
+    normalize_features collapses feature moments across the whole local
+    batch (reference correlation_layer.py:66-68) — batch-split sharding
+    computes per-shard moments, exactly like the torch reference under DDP
+    where each replica normalizes over its local batch."""
+    from ocflow_tpu.models.pwc_fast import fast_apply_sharded
+    from ocflow_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(6)
+    B, H, W = 2, 64, 512
+    net = FlowNetCV()
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    mesh = make_mesh((2,), ("data",), jax.devices()[:2])
+
+    want = [fast_apply(variables, x[i:i + 1], th=8, interpret=True)
+            for i in range(B)]
+    want_full = jnp.concatenate([w[0] for w in want], axis=0)
+    want_quarter = jnp.concatenate([w[1] for w in want], axis=0)
+    got_full, got_quarter = fast_apply_sharded(
+        variables, x, mesh, th=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_quarter), np.asarray(want_quarter), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_full), np.asarray(want_full), atol=1e-5)
+
+
+def test_conv_group_diff_grads_under_shard_map():
+    """Grads through shard_map(conv_group_diff) with replicated weights and a
+    batch-sharded input == single-device grads (the replicated-params
+    transpose must psum weight grads across the mesh axis)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import conv_group_diff
+    from ocflow_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    B, H, W = 4, 8, 128
+    c0 = 16
+    x = jnp.asarray(rng.normal(size=(B, H, W, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 24)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+    gseed = jnp.asarray(rng.normal(size=(B, H, W, 24)), jnp.float32)
+    specs = (ConvSpec(reads=(0,), cout=24, emit=True),)
+    mesh = make_mesh((4,), ("data",), jax.devices()[:4])
+
+    def local_psum(xx, gg, ws, bs):
+        (c1,) = conv_group_diff([xx], ws, bs, specs, H, W, 4, None, True)
+        # per-shard partial sums -> a replicated scalar via psum
+        return jax.lax.psum(jnp.sum(c1 * gg), "data")
+
+    def loss_sharded(xx, ws, bs):
+        return shard_map(
+            local_psum, mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P()),
+            out_specs=P(), check_vma=False,
+        )(xx, gseed, ws, bs)
+
+    def loss_single(xx, ws, bs):
+        (c1,) = conv_group_diff([xx], ws, bs, specs, H, W, 4, None, True)
+        return jnp.sum(c1 * gseed)
+
+    want = jax.grad(loss_single, argnums=(0, 1, 2))(x, [[w1]], [b1])
+    got = jax.grad(loss_sharded, argnums=(0, 1, 2))(x, [[w1]], [b1])
+    for wleaf, gleaf in zip(jax.tree_util.tree_leaves(want),
+                            jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(gleaf), np.asarray(wleaf), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_fast_apply_diff_grads_match_flax():
     """The differentiable fused path (diff=True): loss grads wrt params match
     jax.grad through the flax module."""
