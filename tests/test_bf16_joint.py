@@ -18,6 +18,8 @@ from ocflow_tpu import models
 from ocflow_tpu.models.precision import apply_mixed, cast_floating
 from ocflow_tpu.train import TrainState, steps_joint
 
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (run in CI/round-end)
+
 
 def _batch(rng, b=2, h=64, w=64):
     imgs = rng.uniform(-1, 1, (b, h, w, 6)).astype(np.float32)

@@ -24,6 +24,7 @@ def test_save_load_pytree(tmp_path, rng):
     assert int(back["step"]) == 3
 
 
+@pytest.mark.slow
 def test_load_subtree_for_staged_training(tmp_path, rng):
     """Stage-2 splices stage-1's flow params (reference model.py:948-952)."""
     net = models.SimpleFlowNet()

@@ -12,6 +12,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (CI/round-end)
+
 
 def _free_port() -> int:
     with socket.socket() as s:

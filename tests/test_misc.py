@@ -1,6 +1,7 @@
 """LR finder, panels, census step option, eval padding."""
 
 import numpy as np
+import pytest
 import optax
 
 import jax
@@ -12,6 +13,7 @@ from ocflow_tpu.train.lr_finder import lr_find
 from ocflow_tpu.utils import panels
 
 
+@pytest.mark.slow
 def test_lr_finder(rng):
     ds = data.SyntheticFlow(size=8, image_size=(32, 32))
     loader = data.DataLoader(ds, batch_size=4)
@@ -35,6 +37,7 @@ def test_lr_finder(rng):
     assert len(lrs) == len(losses_log) > 3
 
 
+@pytest.mark.slow
 def test_census_photometric_option(rng):
     net = models.SimpleFlowNet()
     ds = data.SyntheticFlow(size=4, image_size=(32, 32))

@@ -17,6 +17,7 @@ def init_and_apply(net, x, train=False):
     return net.apply(variables, x, train=train)
 
 
+@pytest.mark.slow
 def test_simple_flow_net_shapes():
     net = models.SimpleFlowNet()
     x = jnp.zeros((2, 64, 128, 6))
@@ -34,6 +35,7 @@ def test_simple_flow_net_train_mode_batch_stats():
     assert "batch_stats" in updates
 
 
+@pytest.mark.slow
 def test_pwc_shapes_and_scaling():
     net = models.FlowNetCV()
     x = jnp.zeros((1, 64, 128, 6))
@@ -42,6 +44,7 @@ def test_pwc_shapes_and_scaling():
     assert flow2.shape == (1, 16, 32, 2)
 
 
+@pytest.mark.slow
 def test_pwc_jit_and_grad():
     net = models.FlowNetCV()
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 6)), jnp.float32)

@@ -22,6 +22,9 @@ from ocflow_tpu.models.flow_occ_nets import (
 )
 from ocflow_tpu.models.flow_net_s import FlowNetC
 from ocflow_tpu.ops.cost_volume import cost_volume
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (CI/round-end)
 
 
 def test_occ_gating_multiplies_before_correlation():

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from ocflow_tpu import models
 from ocflow_tpu.ops import max_pool_2x2_with_argmax, max_unpool_2x2
 
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (CI/round-end)
+
 
 def run(net, *args, train=False):
     variables = net.init(jax.random.PRNGKey(0), *args, train=False)
@@ -109,6 +111,7 @@ def test_flownet_fpn():
     assert out.shape == (1, 64, 64, 2)
 
 
+@pytest.mark.slow
 def test_eflownet():
     out = run(models.EFlowNet(), jnp.zeros((1, 32, 32, 6)))
     assert out.shape == (1, 32, 32, 2)
@@ -151,6 +154,7 @@ def test_inpaint_sanet_org():
     assert float(jnp.abs(refined).max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_discriminator_and_spectral_norm(rng):
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 4)).astype(np.float32))
     net = models.InpaintSADiscriminator()

@@ -28,6 +28,8 @@ from ocflow_tpu.metrics.inception import (  # noqa: E402
     init_inception,
 )
 
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (run in CI/round-end)
+
 
 class TBasicConv(tnn.Module):
     def __init__(self, i, o, **kw):

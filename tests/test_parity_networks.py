@@ -61,6 +61,7 @@ def image_pair(rng_seed=0):
     return rng.uniform(-1, 1, (2, 64, 128, 6)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_flownetcv_full_forward_parity(image_pair):
     from models.networks.cost_volume_flow_net import FlowNetCV as TorchFlowNetCV
 
@@ -133,6 +134,7 @@ def _warm_batchnorm(ref, shape, steps=3):
     ref.eval()
 
 
+@pytest.mark.slow
 def test_flownets_full_forward_parity(image_pair):
     from models.networks.flow_net_s import FlowNetS as TorchFlowNetS
 
@@ -153,6 +155,7 @@ def test_flownets_full_forward_parity(image_pair):
     assert err < 1e-4, err
 
 
+@pytest.mark.slow
 def test_simpleflownet_full_forward_parity(image_pair):
     from models.networks.simple_flow_net import SimpleFlowNet as TorchSimple
 

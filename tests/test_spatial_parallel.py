@@ -1,6 +1,7 @@
 """Spatially-sharded ops over the 8-device mesh equal the single-device ops."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,10 @@ from ocflow_tpu import parallel
 from ocflow_tpu.ops import cost_volume, warp
 from ocflow_tpu.parallel.spatial import spatial_cost_volume, spatial_warp
 
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (CI/round-end)
 
+
+@pytest.mark.slow
 def test_spatial_cost_volume_matches(rng):
     mesh = parallel.make_mesh()
     b, h, w, c = 2, 32, 16, 8  # H=32 over 8 devices -> 4 rows/shard

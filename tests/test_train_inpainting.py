@@ -14,6 +14,8 @@ from ocflow_tpu.train import create_train_state
 from ocflow_tpu.train.state import TrainState
 from ocflow_tpu.train import steps_inpainting, steps_two_stage
 
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (CI/round-end)
+
 
 def inpaint_batch(rng, b=2, h=64, w=64):
     imgs = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
@@ -70,6 +72,7 @@ def test_inpainting_stage_pixelwise(rng):
     assert np.isfinite(hist[-1]) and hist[-1] < hist[0]
 
 
+@pytest.mark.slow
 def test_inpainting_stage_vgg(rng):
     net = models.InpaintingNet()
     batch = inpaint_batch(rng, h=64, w=64)
@@ -115,6 +118,7 @@ def test_gan_inpainting_step(rng):
     assert changed > len(g0) * 0.9, f"only {changed}/{len(g0)} leaves updated"
 
 
+@pytest.mark.slow
 def test_two_stage_step(rng):
     flow_net = models.SimpleFlowNet()
     occ_net = models.SimpleOcclusionNet()
@@ -137,6 +141,7 @@ def test_two_stage_step(rng):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_two_stage_gc_step_with_unfreeze(rng):
     occ_net = models.SimpleOcclusionNet()
     inp_net = models.InpaintingNet()

@@ -23,6 +23,7 @@ def synthetic_batch(rng, b=8, h=32, w=32, shift=2):
     return {"images": jnp.asarray(images), "flow": jnp.asarray(flow)}
 
 
+@pytest.mark.slow
 def test_supervised_flow_loss_decreases(rng):
     net = models.SimpleFlowNet()
     batch = synthetic_batch(rng)
@@ -67,6 +68,7 @@ def test_unsupervised_occ_aware_step(rng):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_data_parallel_step_8_devices(rng):
     """The full unsupervised occ-aware train step, batch sharded over all 8
     virtual devices — the multi-chip path the driver dry-runs."""
@@ -91,6 +93,7 @@ def test_data_parallel_step_8_devices(rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
 def test_pwc_unsupervised_step(rng):
     net = models.FlowNetCV()
     batch = synthetic_batch(rng, b=2, h=64, w=64)

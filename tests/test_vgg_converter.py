@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from ocflow_tpu.losses.perceptual import convert_torch_vgg16, init_vgg16
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy CPU-compile suite (CI/round-end)
 
 # torchvision vgg16 conv indices in `features` up to relu4_3
 _CFG = [
