@@ -220,4 +220,73 @@ int png_decode(const uint8_t* buf, int64_t len, uint8_t* out) {
   return 0;
 }
 
+// ---- fused decode + crop + normalize ---------------------------------------
+//
+// The per-sample host cost at 448x1024 is ~24 ms of (GIL-free) PNG decode
+// plus ~17 ms of GIL-BOUND numpy (normalize_image + np.concatenate), which
+// caps the threaded loader at ~23 pairs/s regardless of worker count. This
+// entry point does decode -> center-crop -> (x*scale+offset) float32 -> write
+// into a channel-strided destination (the [H, W, 6] pair buffer) in one
+// GIL-free pass, so the Python side does zero per-pixel work.
+//
+// dst[(y*tw + x) * pix_stride + c] = src[y0+y, x0+x, c] * scale + offset
+// with y0 = (h-th)/2, x0 = (w-tw)/2 (center_crop semantics, datasets.py:36).
+//
+// Handles 8-bit RGB PNG (incl. palette-expanded) and P6 PPM; returns 0 on
+// success, -10 for formats the caller should route to the generic path,
+// -11 if the crop exceeds the image.
+
+int image_decode_norm_f32(const uint8_t* buf, int64_t len, float* dst,
+                          int64_t pix_stride, int32_t th, int32_t tw,
+                          float scale, float offset) {
+  // PPM P6 path
+  if (len >= 2 && buf[0] == 'P' && buf[1] == '6') {
+    PpmHeader hdr;
+    int rc = ppm_parse(buf, len, &hdr);
+    if (rc) return rc;
+    if (th > hdr.h || tw > hdr.w) return -11;
+    int64_t y0 = (hdr.h - th) / 2, x0 = (hdr.w - tw) / 2;
+    for (int64_t y = 0; y < th; y++) {
+      const uint8_t* src =
+          buf + hdr.data_off + ((y0 + y) * hdr.w + x0) * 3;
+      float* drow = dst + y * tw * pix_stride;
+      for (int64_t x = 0; x < tw; x++) {
+        drow[x * pix_stride + 0] = src[x * 3 + 0] * scale + offset;
+        drow[x * pix_stride + 1] = src[x * 3 + 1] * scale + offset;
+        drow[x * pix_stride + 2] = src[x * 3 + 2] * scale + offset;
+      }
+    }
+    return 0;
+  }
+
+  // PNG path
+  MemReader reader;
+  PngCtx ctx;
+  uint32_t w, h;
+  int ch, bd;
+  int rc = png_open(buf, len, &reader, &ctx, &w, &h, &ch, &bd);
+  if (rc) return rc;
+  if (bd != 8 || ch < 3) return -10;  // generic path handles these
+  if (th > (int32_t)h || tw > (int32_t)w) return -11;
+  if (setjmp(png_jmpbuf(ctx.png))) return -3;
+  if (png_get_interlace_type(ctx.png, ctx.info) != PNG_INTERLACE_NONE)
+    return -10;  // interlaced needs full-image reads; rare, generic path
+  int64_t y0 = (h - th) / 2, x0 = (w - tw) / 2;
+  std::vector<uint8_t> row((size_t)w * ch);
+  // rows above the crop must still be decoded (PNG is sequential) but rows
+  // below it are simply never read
+  for (uint32_t y = 0; (int64_t)y < y0 + th; y++) {
+    png_read_row(ctx.png, row.data(), nullptr);
+    if ((int64_t)y < y0) continue;
+    const uint8_t* src = row.data() + x0 * ch;
+    float* drow = dst + (y - y0) * tw * pix_stride;
+    for (int64_t x = 0; x < tw; x++) {
+      drow[x * pix_stride + 0] = src[x * ch + 0] * scale + offset;
+      drow[x * pix_stride + 1] = src[x * ch + 1] * scale + offset;
+      drow[x * pix_stride + 2] = src[x * ch + 2] * scale + offset;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -112,16 +112,25 @@ class _FlowPairDataset(Dataset):
     def __getitem__(self, index):
         index = index % self.size
         th, tw = self.render_size
-        img1 = center_crop(read_gen(self.image_list[index][0]), th, tw)
-        img2 = center_crop(read_gen(self.image_list[index][1]), th, tw)
-        if self.image_size:
-            img1 = _resize_img(img1, *self.image_size)
-            img2 = _resize_img(img2, *self.image_size)
-        sample = {
-            "images": np.concatenate(
+        images = None
+        if not self.image_size:
+            # fused native decode+crop+normalize (GIL-free single pass);
+            # None -> generic path below
+            from ocflow_tpu.data import native_io
+
+            images = native_io.read_pair_norm(
+                self.image_list[index][0], self.image_list[index][1], th, tw
+            )
+        if images is None:
+            img1 = center_crop(read_gen(self.image_list[index][0]), th, tw)
+            img2 = center_crop(read_gen(self.image_list[index][1]), th, tw)
+            if self.image_size:
+                img1 = _resize_img(img1, *self.image_size)
+                img2 = _resize_img(img2, *self.image_size)
+            images = np.concatenate(
                 [normalize_image(img1), normalize_image(img2)], axis=-1
             )
-        }
+        sample = {"images": images}
         if self.flow_list is not None:
             flow = center_crop(read_gen(self.flow_list[index]).astype(np.float32), th, tw)
             if self.image_size:

@@ -75,6 +75,10 @@ def _load():
             ("ppm_decode", [u8p, ctypes.c_int64, ctypes.c_void_p]),
             ("png_probe", [u8p, ctypes.c_int64, i32p, i32p, i32p, i32p]),
             ("png_decode", [u8p, ctypes.c_int64, ctypes.c_void_p]),
+            ("image_decode_norm_f32",
+             [u8p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+              ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+              ctypes.c_float]),
         ):
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -144,6 +148,38 @@ def read_image(path: str) -> np.ndarray | None:
             raise ValueError(f"{path}: ppm decode failed (rc={rc})")
         return out
     return None
+
+
+def read_pair_norm(
+    path1: str, path2: str, th: int, tw: int,
+    scale: float = 1.0 / 127.5, offset: float = -1.0,
+) -> np.ndarray | None:
+    """Decode an image pair fused with center-crop + [-1, 1] normalization.
+
+    One GIL-free C++ pass per image (decode → crop to (th, tw) → float32
+    x*scale+offset), written channel-interleaved into a single [th, tw, 6]
+    buffer — eliminating the ~17 ms/pair of GIL-bound numpy
+    (normalize_image + np.concatenate) that capped threaded loader scaling
+    (tools/bench_input_pipeline.py). Returns None when either file needs
+    the generic path (16-bit, gray, interlaced, non-png/ppm), never raises
+    on format grounds.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((th, tw, 6), np.float32)
+    base = out.ctypes.data
+    for i, path in enumerate((path1, path2)):
+        buf = open(path, "rb").read()
+        rc = lib.image_decode_norm_f32(
+            _as_u8p(buf), len(buf),
+            ctypes.c_void_p(base + 4 * 3 * i), 6, th, tw, scale, offset,
+        )
+        if rc:
+            # unsupported or undecodable here -> generic path (which raises
+            # an informative error if the file is genuinely corrupt)
+            return None
+    return out
 
 
 def read_kitti_png_flow(path: str) -> np.ndarray:

@@ -57,13 +57,13 @@ def make_loaders(cfg: Config):
     """Dataset → seeded 80/10/10 split → loaders (reference
     lightning_datamodule.py:50-69; ``overfit`` makes train=val=test)."""
     kwargs = {}
-    if cfg.dataset_name != "SyntheticFlow":
+    if not cfg.dataset_name.startswith("Synthetic"):
         kwargs["root"] = cfg.root
-        if cfg.image_size:
-            kwargs["image_size"] = cfg.image_size
         if "Inpainting" in cfg.dataset_name:
             kwargs["occlusion_ratio"] = cfg.occlusion_ratio
             kwargs["static_occ"] = cfg.static_occ
+    if cfg.image_size:
+        kwargs["image_size"] = tuple(cfg.image_size)
     dataset = data_lib.build_dataset(cfg.dataset_name, **kwargs)
     if cfg.overfit:
         train_ds = val_ds = test_ds = dataset

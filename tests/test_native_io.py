@@ -82,3 +82,39 @@ def test_read_gen_uses_native(tmp_path):
     p = str(tmp_path / "f.png")
     iio.imwrite(p, img)
     np.testing.assert_array_equal(read_gen(p), img)
+
+
+def test_read_pair_norm_matches_generic(tmp_path):
+    """Fused decode+crop+normalize == center_crop + normalize_image +
+    concatenate on the same files (both PNG and PPM), incl. odd crops."""
+    import imageio.v2 as iio
+
+    from ocflow_tpu.data.datasets import center_crop, normalize_image
+
+    if not native_io.available():
+        pytest.skip("native decoders unavailable")
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    b = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.ppm")
+    iio.imwrite(p1, a)
+    with open(p2, "wb") as f:  # binary P6 by hand
+        f.write(b"P6\n53 37\n255\n" + b.tobytes())
+    th, tw = 32, 40
+    got = native_io.read_pair_norm(p1, p2, th, tw)
+    assert got is not None and got.shape == (th, tw, 6)
+    want = np.concatenate(
+        [normalize_image(center_crop(a, th, tw)),
+         normalize_image(center_crop(b, th, tw))], axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_read_pair_norm_rejects_16bit(tmp_path):
+    """16-bit input routes to the generic path (returns None)."""
+    from ocflow_tpu.data.flow_io import write_kitti_png_flow
+
+    if not native_io.available():
+        pytest.skip("native decoders unavailable")
+    p = str(tmp_path / "deep.png")  # KITTI flow pngs are 16-bit RGB
+    write_kitti_png_flow(p, np.zeros((16, 16, 2), np.float32))
+    assert native_io.read_pair_norm(p, p, 8, 8) is None
