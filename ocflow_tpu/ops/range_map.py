@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ocflow_tpu.ops.warp import flow_to_warp
+from ocflow_tpu.ops.warp import flow_to_warp, mesh_grid
 
 
 @jax.jit
@@ -72,3 +72,68 @@ def occlusion_from_back_flow(back_flow: jax.Array) -> jax.Array:
     """
     range_map = compute_range_map(back_flow)
     return 1.0 - jnp.clip(range_map, 0.0, 1.0)
+
+
+def _warp_nograd(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Zero-padded bilinear warp WITHOUT the custom VJP.
+
+    ``ops.warp`` is a custom_vjp function, so under ``jax.grad`` its forward
+    rule saves the gathered [N, 2, 2, C] window as a residual for the
+    backward pass; residuals cannot fuse into their consumer, and for a C=2
+    flow field XLA lane-pads that buffer 64x — a measured 7 GB HBM OOM at
+    448x1024 batch 8. This plain formulation (same math, no vjp) is for
+    gradient-free uses only: inputs must be stop_gradient'ed, letting XLA
+    fuse gather + weighting exactly like the inference path (~2 ms).
+    """
+    from ocflow_tpu.ops.warp import _gather_2x2, _hat_weights
+
+    b, h, w, c = img.shape
+
+    def one(im, xx, yy):
+        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
+        g = _gather_2x2(im, x0, y0)
+        wx, wy = _hat_weights(xx, x0, yy, y0, im.dtype)
+        return jnp.einsum("nyxc,ny,nx->nc", g, wy, wx).reshape(h, w, c)
+
+    return jax.vmap(one)(img, x, y)
+
+
+def occlusion_fb_consistency(
+    flow_fwd: jax.Array,
+    flow_bwd: jax.Array,
+    alpha1: float = 0.01,
+    alpha2: float = 0.5,
+) -> jax.Array:
+    """Forward-backward-consistency occlusion (Meister et al., UnFlow).
+
+    TPU-fast alternative to the reference's range-map occlusion: the splat
+    is floored at ~97 ms/step by TPU scatter-add throughput (PERF.md),
+    while this is a bilinear *gather* (~1 ms). A pixel is occluded when
+    the round trip p -> p+F_fwd(p) -> back does not return near p:
+
+        |F_fwd(p) + F_bwd(p + F_fwd(p))|^2
+            > alpha1 * (|F_fwd(p)|^2 + |F_bwd(p+F_fwd(p))|^2) + alpha2
+
+    or when the forward endpoint p + F_fwd(p) leaves the frame (nothing to
+    compare against — the range-map method also marks such pixels occluded,
+    since they are never splatted onto).
+
+    Deliberate deviation from the reference (which only implements the
+    range-map method, models/model.py:388-391); selected via the
+    ``occ_method='fb_consistency'`` hparam, default stays ``'range_map'``.
+
+    Returns [B, H, W, 1]; 1 = occluded, 0 = visible.
+    """
+    flow_fwd = jax.lax.stop_gradient(flow_fwd)
+    flow_bwd = jax.lax.stop_gradient(flow_bwd)
+    _, h, w, _ = flow_fwd.shape
+    xx, yy = mesh_grid(h, w, flow_fwd.dtype)
+    x = xx[None] + flow_fwd[..., 0]
+    y = yy[None] + flow_fwd[..., 1]
+    bwd_at = _warp_nograd(flow_bwd, x, y)
+    sq_diff = jnp.sum((flow_fwd + bwd_at) ** 2, axis=-1)
+    sq_mag = jnp.sum(flow_fwd**2 + bwd_at**2, axis=-1)
+    inconsistent = sq_diff > alpha1 * sq_mag + alpha2
+    out_of_frame = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
+    return (inconsistent | out_of_frame)[..., None].astype(flow_fwd.dtype)

@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from ocflow_tpu import losses
-from ocflow_tpu.ops import occlusion_from_back_flow, resize_bilinear, warp
+from ocflow_tpu.ops import (
+    occlusion_fb_consistency,
+    occlusion_from_back_flow,
+    resize_bilinear,
+    warp,
+)
 from ocflow_tpu.train.state import TrainState
 
 
@@ -124,6 +129,20 @@ def make_unsupervised_flow_step(hparams: dict):
     s2_w = hparams.get("smooth2_weight", 1.0)
     with_occ = hparams.get("with_occ", False)
     occ_aware = hparams.get("occ_aware", False)
+    # 'range_map' (reference parity, models/model.py:388-391) or
+    # 'fb_consistency' (TPU-fast deviation: one warp gather instead of the
+    # ~97 ms/step scatter splat — ops/range_map.py:occlusion_fb_consistency)
+    occ_method = hparams.get("occ_method", "range_map")
+    # disable occlusion masking for the first K steps (0 = reference
+    # behavior). At random init the fb-consistency check marks ~everything
+    # occluded (round trips of random flows never close), zeroing the
+    # photometric loss and its gradient; a short unmasked warmup
+    # bootstraps the flow first (UnFlow-style practice, an extension).
+    occ_warmup = hparams.get("occ_warmup_steps", 0)
+    # 'full' (reference parity: occlusion from the upsampled full-res
+    # flows) or 'quarter' (PWC only: from the native 1/4-res flows,
+    # nearest-upsampled — 16x less occlusion work; see the block below)
+    occ_res = hparams.get("occ_resolution", "full")
     is_pwc = hparams.get("model", "simple") == "pwc"
     # fused-kernel usage inside the step: 'backward' (default) runs the
     # fused Pallas inference path for the no-grad backward-flow pass;
@@ -176,6 +195,7 @@ def make_unsupervised_flow_step(hparams: dict):
             # flagship.
             back_in = jnp.concatenate([img2, img1], axis=-1)
             back_flow = None
+            back_l2 = None
             if fast_mode in ("both", "backward") and is_pwc and not batch_stats:
                 # The pass carries no gradients, so the fused Pallas
                 # inference path (no VJP) is legal here; None off-TPU or
@@ -195,8 +215,9 @@ def make_unsupervised_flow_step(hparams: dict):
                 fast = maybe_fast_apply({"params": sp}, bi)
                 if fast is not None:
                     back_flow = fast[0].astype(back_in.dtype)
+                    back_l2 = fast[1].astype(back_in.dtype)
             if back_flow is None:
-                back_flow, _, new_stats = _apply_flow_net(
+                back_flow, back_l2, new_stats = _apply_flow_net(
                     state,
                     jax.lax.stop_gradient(params),
                     jax.lax.stop_gradient(new_stats),
@@ -204,9 +225,37 @@ def make_unsupervised_flow_step(hparams: dict):
                     train,
                 )
             back_flow = jax.lax.stop_gradient(back_flow)
-            occ_pred = jax.lax.stop_gradient(
-                occlusion_from_back_flow(back_flow)
+            quarter = (
+                occ_res == "quarter" and is_pwc
+                and flow_l2 is not None and back_l2 is not None
             )
+            if quarter:
+                # occlusion from the PWC-native 1/4-res flows (16x fewer
+                # pixels: the 97 ms full-res splat becomes ~6 ms, the fb
+                # gather ~3 ms), nearest-upsampled. The full-res flow is
+                # itself just the upsampled flow_l2, so the full-res
+                # occlusion contains no extra information — only the
+                # fb alphas effectively rescale (L2 pixel units).
+                fwd_o = jax.lax.stop_gradient(flow_l2)
+                bwd_o = jax.lax.stop_gradient(back_l2).astype(fwd_o.dtype)
+            else:
+                fwd_o = jax.lax.stop_gradient(flow_pred)
+                bwd_o = back_flow.astype(fwd_o.dtype)
+            if occ_method == "fb_consistency":
+                occ_pred = occlusion_fb_consistency(fwd_o, bwd_o)
+            else:
+                occ_pred = occlusion_from_back_flow(bwd_o)
+            occ_pred = jax.lax.stop_gradient(occ_pred)
+            if quarter:
+                occ_pred = jnp.repeat(
+                    jnp.repeat(occ_pred, 4, axis=1), 4, axis=2
+                )
+            if occ_warmup:
+                occ_pred = jnp.where(
+                    state.step < occ_warmup,
+                    jnp.zeros_like(occ_pred),
+                    occ_pred,
+                )
             photo = _photo(img_warped, img1, occ_pred)
         elif with_occ:
             photo = _photo(img_warped, img1, batch["occ"])
@@ -231,6 +280,16 @@ def make_unsupervised_flow_step(hparams: dict):
         }
         if "flow" in batch:
             metrics["flow_error"] = jnp.mean((flow_pred - batch["flow"]) ** 2)
+            # true endpoint error (reference metric.py:7-12), for EPE-vs-step
+            # curves during unsupervised training
+            metrics["epe"] = jnp.mean(
+                jnp.sqrt(
+                    jnp.sum(
+                        (flow_pred.astype(jnp.float32) - batch["flow"]) ** 2,
+                        axis=-1,
+                    )
+                )
+            )
         if occ_aware:
             metrics["photometric_occ"] = losses.photometric_error(
                 img_warped, img1, 1.0 - occ_pred

@@ -77,3 +77,53 @@ def test_occlusion_from_back_flow():
     occ = np.asarray(occlusion_from_back_flow(jnp.asarray(flow)))[0, ..., 0]
     np.testing.assert_allclose(occ[:, :3], 1.0, atol=1e-6)  # left strip never hit
     np.testing.assert_allclose(occ[:, 3:], 0.0, atol=1e-6)
+
+
+def test_occlusion_fb_consistency():
+    """Consistent fwd/bwd flows -> visible; a region whose backward flow
+    contradicts the forward flow -> occluded."""
+    from ocflow_tpu.ops import occlusion_fb_consistency
+
+    h, w = 16, 16
+    fwd = np.zeros((1, h, w, 2), np.float32)
+    fwd[..., 0] = 2.0
+    bwd = np.zeros((1, h, w, 2), np.float32)
+    bwd[..., 0] = -2.0  # exact inverse: round trip returns to p
+    occ = np.asarray(
+        occlusion_fb_consistency(jnp.asarray(fwd), jnp.asarray(bwd)))
+    np.testing.assert_allclose(occ[0, :, : w - 2, 0], 0.0, atol=1e-6)
+
+    # break the backward flow in the right half: round trip misses by 6 px
+    bwd_bad = bwd.copy()
+    bwd_bad[:, :, w // 2:, 0] = 4.0
+    occ = np.asarray(
+        occlusion_fb_consistency(jnp.asarray(fwd), jnp.asarray(bwd_bad)))
+    # forward endpoints x+2 >= w//2+2 read the broken half
+    np.testing.assert_allclose(occ[0, :, w // 2 :, 0][:, : w // 2 - 3], 1.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(occ[0, :, : w // 2 - 2, 0], 0.0, atol=1e-6)
+
+    # forward endpoints leaving the frame are occluded (the range-map method
+    # also never splats onto them)
+    occ = np.asarray(
+        occlusion_fb_consistency(jnp.asarray(fwd), jnp.asarray(bwd)))
+    np.testing.assert_allclose(occ[0, :, w - 2 :, 0], 1.0, atol=1e-6)
+
+
+def test_fb_consistency_nograd_sampler_matches_warp():
+    """_warp_nograd == ops.warp (zero-padded bilinear) on a random field;
+    fb_consistency uses it because the custom-VJP warp saves a [N,2,2,2]
+    residual under grad that lane-pads 64x (7 GB OOM at scale)."""
+    from ocflow_tpu.ops.range_map import _warp_nograd
+    from ocflow_tpu.ops.warp import warp
+
+    rng = np.random.default_rng(3)
+    b, h, w = 2, 24, 40
+    img = rng.standard_normal((b, h, w, 2)).astype(np.float32)
+    flow = (rng.standard_normal((b, h, w, 2)) * 3).astype(np.float32)
+    ref = np.asarray(warp(jnp.asarray(img), jnp.asarray(flow)))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    x = jnp.asarray(xx[None] + flow[..., 0])
+    y = jnp.asarray(yy[None] + flow[..., 1])
+    got = np.asarray(_warp_nograd(jnp.asarray(img), x, y))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -68,6 +68,24 @@ def test_unsupervised_occ_aware_step(rng):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_unsupervised_occ_aware_fb_consistency(rng):
+    """occ_method='fb_consistency' swaps the range-map splat for the
+    forward-backward round-trip check; the step must run and stay finite."""
+    net = models.SimpleFlowNet()
+    batch = synthetic_batch(rng)
+    batch["occ"] = jnp.zeros_like(batch["flow"][..., :1])
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), batch["images"], optax.adam(1e-4)
+    )
+    train_step, _ = steps.make_unsupervised_flow_step(
+        {"photo_weight": 1.0, "occ_aware": True,
+         "occ_method": "fb_consistency"}
+    )
+    state, metrics = train_step(state, batch)
+    for k in ("loss", "photometric", "photometric_occ", "occ_error"):
+        assert np.isfinite(float(metrics[k])), k
+
+
 @pytest.mark.slow
 def test_data_parallel_step_8_devices(rng):
     """The full unsupervised occ-aware train step, batch sharded over all 8
@@ -106,3 +124,44 @@ def test_pwc_unsupervised_step(rng):
     state, metrics = train_step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["smooth1"]))
+
+
+def test_occ_warmup_disables_masking(rng):
+    """occ_warmup_steps: while state.step < K the photometric loss sees no
+    occlusion mask (loss == the occ-free variant); after K it diverges."""
+    net = models.SimpleFlowNet()
+    batch = synthetic_batch(rng)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), batch["images"], optax.adam(1e-4)
+    )
+    hp = {"photo_weight": 1.0, "occ_aware": True,
+          "occ_method": "fb_consistency"}
+    _, eval_warm = steps.make_unsupervised_flow_step(
+        {**hp, "occ_warmup_steps": 100})
+    _, eval_noocc = steps.make_unsupervised_flow_step({"photo_weight": 1.0})
+    _, eval_mask = steps.make_unsupervised_flow_step(hp)
+    m_warm = eval_warm(state, batch)
+    m_noocc = eval_noocc(state, batch)
+    m_mask = eval_mask(state, batch)
+    np.testing.assert_allclose(
+        float(m_warm["photometric"]), float(m_noocc["photometric"]),
+        rtol=1e-5)
+    assert float(m_mask["photometric"]) != float(m_noocc["photometric"])
+
+
+@pytest.mark.slow
+def test_pwc_occ_aware_quarter_resolution(rng):
+    """occ_resolution='quarter' computes occlusion from the 1/4-res flows
+    and nearest-upsamples; the step runs finitely for both occ methods."""
+    net = models.FlowNetCV()
+    batch = synthetic_batch(rng, b=2, h=64, w=64)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), batch["images"], optax.adam(1e-4)
+    )
+    for method in ("range_map", "fb_consistency"):
+        train_step, _ = steps.make_unsupervised_flow_step(
+            {"photo_weight": 1.0, "occ_aware": True, "model": "pwc",
+             "occ_method": method, "occ_resolution": "quarter"}
+        )
+        _, metrics = train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"])), method
