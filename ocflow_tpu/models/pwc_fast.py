@@ -329,7 +329,7 @@ def fast_apply_sharded(
 
 def maybe_fast_apply(
     variables: Any, x: jax.Array, diff: bool = False, mesh=None,
-    axis: str = "data",
+    axis: str = "data", th: int | None = None,
 ):
     """``fast_apply`` when the fused path is usable, else None.
 
@@ -359,8 +359,8 @@ def maybe_fast_apply(
     if mesh is not None and mesh.size > 1:
         if x.shape[0] % mesh.size:
             return None
-        return fast_apply_sharded(variables, x, mesh, axis, diff=diff)
-    return fast_apply(variables, x, diff=diff)
+        return fast_apply_sharded(variables, x, mesh, axis, diff=diff, th=th)
+    return fast_apply(variables, x, diff=diff, th=th)
 
 
 def fast_apply(
@@ -425,9 +425,16 @@ def fast_apply(
             up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
             up_feat = _deconv_split(parts, p[f"Deconv_{2 * i + 3}"])
         else:
+            # diff mode emits EVERY block activation as a VMEM-windowed
+            # output; at pick_tile's th=56 the L2 level's extra windows
+            # push scoped VMEM past the 100 MB limit (measured compile
+            # OOM) — th=16 fits and compiles. Inference keeps th=56.
+            l2_th = th
+            if diff and th is None and xcat.shape[1] % 16 == 0:
+                l2_th = 16
             flow2 = _fused_level2(
                 p["DenseDecoder_4"], p["ContextNetwork_0"], xcat,
-                th=_tile_for(xcat.shape[1], th), interpret=interpret,
+                th=_tile_for(xcat.shape[1], l2_th), interpret=interpret,
                 diff=diff)
 
     flow2 = flow2.astype(jnp.float32)

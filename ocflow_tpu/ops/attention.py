@@ -24,19 +24,8 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("bnm,bmc->bnc", attn, v)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
-def blockwise_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_size: int = 1024
-) -> jax.Array:
-    """Exact streaming softmax attention (flash recurrence over KV blocks).
-
-    Args:
-        q, k: [B, N, D]; v: [B, N, C]. N must be divisible by block_size
-        (pad externally if needed).
-
-    Returns:
-        [B, N, C], numerically equal to ``dense_attention`` (fp32 accumulators).
-    """
+def _blockwise_fwd_impl(q, k, v, block_size):
+    """Flash forward; returns (out, logsumexp [B,N,1])."""
     b, n, d = q.shape
     c = v.shape[-1]
     nb = n // block_size
@@ -67,7 +56,72 @@ def blockwise_attention(
     (m, l, acc), _ = jax.lax.scan(
         body, init, (jnp.swapaxes(kb, 0, 1), jnp.swapaxes(vb, 0, 1))
     )
-    return (acc / l).astype(v.dtype)
+    return (acc / l).astype(v.dtype), m + jnp.log(l)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blockwise_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, block_size: int = 1024
+) -> jax.Array:
+    """Exact streaming softmax attention (flash recurrence over KV blocks).
+
+    Args:
+        q, k: [B, N, D]; v: [B, N, C]. N must be divisible by block_size
+        (pad externally if needed).
+
+    Returns:
+        [B, N, C], numerically equal to ``dense_attention`` (fp32 accumulators).
+
+    Custom VJP: letting autodiff differentiate the forward scan saves the
+    per-block scores as residuals — f32[nb, B, N, block] = 12.25 GB at the
+    448x1024 inpainting resolution, a measured HBM OOM that made full-res
+    GAN *training* impossible (inference was fine). The backward here is
+    the FlashAttention adjoint: save only (q, k, v, out, logsumexp) and
+    recompute each block's probabilities on the fly, so training memory is
+    O(N·block) like the forward.
+    """
+    out, _ = _blockwise_fwd_impl(q, k, v, block_size)
+    return out
+
+
+def _blockwise_fwd(q, k, v, block_size):
+    out, lse = _blockwise_fwd_impl(q, k, v, block_size)
+    return out, (q, k, v, out, lse)
+
+
+def _blockwise_bwd(block_size, res, g):
+    q, k, v, out, lse = res
+    b, n, d = q.shape
+    c = v.shape[-1]
+    nb = n // block_size
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    # D_i = sum_c dout_ic * out_ic  (softmax-jacobian row term)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)
+    kb = jnp.swapaxes(k.reshape(b, nb, block_size, d), 0, 1)
+    vb = jnp.swapaxes(v.reshape(b, nb, block_size, c), 0, 1)
+
+    def body(dq_acc, kv):
+        kblk, vblk = kv
+        s = jnp.einsum("bnd,bkd->bnk", qf, kblk.astype(jnp.float32))
+        p = jnp.exp(s - lse)  # normalized probabilities of this block
+        dv_blk = jnp.einsum("bnk,bnc->bkc", p, gf)
+        dp = jnp.einsum("bnc,bkc->bnk", gf, vblk.astype(jnp.float32))
+        ds = p * (dp - delta)
+        dq_acc = dq_acc + jnp.einsum(
+            "bnk,bkd->bnd", ds, kblk.astype(jnp.float32))
+        dk_blk = jnp.einsum("bnk,bnd->bkd", ds, qf)
+        return dq_acc, (dk_blk, dv_blk)
+
+    dq, (dks, dvs) = jax.lax.scan(
+        body, jnp.zeros((b, n, d), jnp.float32), (kb, vb)
+    )
+    dk = jnp.swapaxes(dks, 0, 1).reshape(b, n, d)
+    dv = jnp.swapaxes(dvs, 0, 1).reshape(b, n, c)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+blockwise_attention.defvjp(_blockwise_fwd, _blockwise_bwd)
 
 
 def spatial_self_attention(

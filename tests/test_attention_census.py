@@ -25,9 +25,15 @@ def test_blockwise_attention_grad(rng):
     k = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
 
-    gd = jax.grad(lambda q: jnp.sum(dense_attention(q, k, v) ** 2))(q)
-    gb = jax.grad(lambda q: jnp.sum(blockwise_attention(q, k, v, 64) ** 2))(q)
-    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd), atol=1e-4, rtol=1e-4)
+    # the flash custom VJP must match dense autodiff for ALL of q, k, v
+    gd = jax.grad(
+        lambda a: jnp.sum(dense_attention(*a) ** 2))((q, k, v))
+    gb = jax.grad(
+        lambda a: jnp.sum(blockwise_attention(*a, 64) ** 2))((q, k, v))
+    for got, want, name in zip(gb, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}")
 
 
 def test_census_transform_shapes(rng):
