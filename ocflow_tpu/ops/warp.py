@@ -112,23 +112,31 @@ def _sample_fwd(img, x, y, _meta):
 
 
 def _sample_bwd(meta, res, g):
-    h, w, c, dtype, spatial = meta
+    h, w, c, dtype, spatial, *rest = meta
+    grad_img = rest[0] if rest else True
     x0, y0, gathered, wx, wy, tx, ty = res
     gf = g.reshape(-1, c).astype(jnp.float32)
     wxf = wx.astype(jnp.float32)
     wyf = wy.astype(jnp.float32)
-    x0f = x0.reshape(-1)
-    y0f = y0.reshape(-1)
 
-    # dL/dimg: splat w_y*w_x*g onto the 4 (in-bounds, clipped) taps with
-    # FLAT index scatters — fast and stable on TPU
-    dimg = jnp.zeros((h * w, c), jnp.float32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            wgt = (wyf[:, dy] * wxf[:, dx])[:, None]
-            idx = (y0f + dy) * w + (x0f + dx)
-            dimg = dimg.at[idx].add(wgt * gf)
-    dimg = dimg.reshape(h, w, c).astype(dtype)
+    if grad_img:
+        # dL/dimg: splat w_y*w_x*g onto the 4 (in-bounds, clipped) taps
+        # with FLAT index scatters — fast and stable on TPU
+        x0f = x0.reshape(-1)
+        y0f = y0.reshape(-1)
+        dimg = jnp.zeros((h * w, c), jnp.float32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = (wyf[:, dy] * wxf[:, dx])[:, None]
+                idx = (y0f + dy) * w + (x0f + dx)
+                dimg = dimg.at[idx].add(wgt * gf)
+        dimg = dimg.reshape(h, w, c).astype(dtype)
+    else:
+        # warping input DATA (e.g. frame 2 in the photometric loss): its
+        # cotangent is never consumed, but XLA does not reliably DCE the
+        # splat chain — measured 135 ms of the 322 ms occ-aware train step
+        # at 448x1024 batch 8. grad_img=False makes the skip explicit.
+        dimg = jnp.zeros((h, w, c), dtype)
 
     # dL/dx, dL/dy: analytic hat derivative. For tap k: w_k = max(0, 1-|t_k|)
     # with t_k = x - (x0+k); dw_k/dx = -sign(t_k) inside the support, else 0.
@@ -154,12 +162,14 @@ def _sample_bwd(meta, res, g):
 _sample_bilinear_zero_pad.defvjp(_sample_fwd, _sample_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("align_corners", "with_mask"))
+@functools.partial(
+    jax.jit, static_argnames=("align_corners", "with_mask", "grad_img"))
 def warp(
     img: jax.Array,
     flow: jax.Array,
     align_corners: bool = True,
     with_mask: bool = False,
+    grad_img: bool = True,
 ):
     """Backward-warp ``img`` (frame 2) to frame 1 by ``flow``.
 
@@ -174,6 +184,12 @@ def warp(
             models/networks/cost_volume_flow_net.py:121-151).
         with_mask: also return the in-bounds validity mask [B, H, W, 1]
             (reference utils.py:49-57 thresholds it at 0.9999).
+        grad_img: False skips the dL/dimg splat in the custom backward
+            (4 full-res scatter-adds, measured 135 ms at 448x1024 batch 8
+            — XLA does not reliably DCE it). Use False when warping input
+            DATA whose cotangent is never consumed (e.g. frame 2 in the
+            photometric loss); keep True when warping activations
+            (e.g. PWC feature warps).
 
     Returns:
         warped image [B, H, W, C] (and optionally the validity mask).
@@ -187,7 +203,7 @@ def warp(
         x = x * (w / max(w - 1, 1)) - 0.5
         y = y * (h / max(h - 1, 1)) - 0.5
 
-    meta = (h, w, img.shape[-1], img.dtype.name, (h, w))
+    meta = (h, w, img.shape[-1], img.dtype.name, (h, w), grad_img)
     sample = lambda i, xx, yy: _sample_bilinear_zero_pad(i, xx, yy, meta)
     out = jax.vmap(sample)(img, x, y)
     if not with_mask:

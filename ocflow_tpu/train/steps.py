@@ -183,7 +183,7 @@ def make_unsupervised_flow_step(hparams: dict):
             flow_pred, flow_l2, new_stats = _apply_flow_net(
                 state, params, batch_stats, imgs, train
             )
-        img_warped = warp(img2, flow_pred, align_corners=True)
+        img_warped = warp(img2, flow_pred, align_corners=True, grad_img=False)
 
         occ_pred = None
         if occ_aware:

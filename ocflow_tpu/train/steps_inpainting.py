@@ -50,7 +50,7 @@ def make_supervised_inpainting_step(hparams: dict | None = None):
         imgs = batch["images"]
         img1, img2 = imgs[..., :3], imgs[..., 3:]
         occ = batch["occ"]
-        img_warped = warp(img2, batch["flow"], align_corners=False)
+        img_warped = warp(img2, batch["flow"], align_corners=False, grad_img=False)
         _, img_completed, new_stats = _apply_generator(
             state, params, batch_stats, img_warped * (1.0 - occ), occ, train
         )

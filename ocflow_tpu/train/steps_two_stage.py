@@ -55,7 +55,7 @@ def make_two_stage_step(hparams: dict, flow_apply, inpaint_apply):
             occ_pred = state.apply_fn(variables, imgs, train=False)
             new_stats = batch_stats
 
-        img_warped = warp(img2, flow_pred, align_corners=True)
+        img_warped = warp(img2, flow_pred, align_corners=True, grad_img=False)
         img_occluded = img_warped * (1.0 - occ_pred)
         # completed image computed for parity with the reference pipeline
         # (model.py:1023); the loss below does not use it — documented quirk.
@@ -154,7 +154,7 @@ def make_two_stage_gc_step(hparams: dict, occ_apply, inpaint_apply, vgg=None):
     def loss_fn(state, params, batch_stats, batch, train):
         imgs = batch["images"]
         img1, img2 = imgs[..., :3], imgs[..., 3:]
-        img_warped = warp(img2, batch["flow"], align_corners=True)
+        img_warped = warp(img2, batch["flow"], align_corners=True, grad_img=False)
 
         occ_stats = batch_stats.get("occ", {}) if batch_stats else {}
         inp_stats = batch_stats.get("inpaint", {}) if batch_stats else {}

@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from ocflow_tpu.ops import warp, flow_to_warp
@@ -82,3 +83,21 @@ def test_warp_gradients_flow():
 
     g = jax.grad(loss)(flow)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_warp_grad_img_false_same_dflow(rng):
+    """grad_img=False skips the dimg splat but must leave dL/dflow intact."""
+    img = jnp.asarray(rng.standard_normal((2, 12, 16, 3)).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((2, 12, 16, 2)) * 2).astype(np.float32))
+
+    def loss(f, gi):
+        return jnp.sum(warp(img, f, grad_img=gi) ** 2)
+
+    g_ref = jax.grad(lambda f: loss(f, True))(flow)
+    g_fast = jax.grad(lambda f: loss(f, False))(flow)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
+    # and dimg really is zeroed (not merely discarded)
+    dimg = jax.grad(
+        lambda i: jnp.sum(warp(i, flow, grad_img=False) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(dimg), 0.0, atol=0)
