@@ -65,11 +65,9 @@ def test_normalize_features_per_image(rng):
     assert abs(n1.std() - 1.0) < 1e-4
 
 
-def test_pallas_backward_matches_autodiff(rng):
-    """The fused Pallas CV backward == autodiff of the XLA cost volume.
-
-    Runs _bwd_pallas in interpreter mode on shapes meeting the kernel
-    constraints (W lanes, C sublanes)."""
+def test_fused_backward_matches_autodiff(rng):
+    """The fused CV's custom-VJP backward (XLA mirror) == autodiff of the
+    plain XLA cost volume."""
     import jax
 
     from ocflow_tpu.ops.pallas import cost_volume_kernel as cvk
@@ -82,6 +80,6 @@ def test_pallas_backward_matches_autodiff(rng):
         return jnp.sum(cost_volume(a, b, 4) * g)
 
     want1, want2 = jax.grad(loss, argnums=(0, 1))(f1, f2)
-    got1, got2 = cvk._bwd_pallas(f1, f2, g, 4, interpret=True)
+    got1, got2 = cvk._bwd(4, (f1, f2), g)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-3)
