@@ -94,19 +94,30 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         idx = self._indices()
         nb = len(self)
+        if self.num_workers <= 0:
+            # torch DataLoader semantics: num_workers=0 loads synchronously
+            # in the calling thread (useful for debugging/determinism)
+            yield from self._iter_batches(idx, nb, map)
+            return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(nb):
-                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                if len(chunk) < self.batch_size and self.drop_last:
-                    break
-                samples = list(pool.map(self.dataset.__getitem__, chunk))
-                yield {
-                    k: np.stack([s[k] for s in samples]) for k in samples[0]
-                }
+            yield from self._iter_batches(idx, nb, pool.map)
+
+    def _iter_batches(self, idx, nb, map_fn):
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                break
+            samples = list(map_fn(self.dataset.__getitem__, chunk))
+            yield {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }
 
 
 def prefetch(iterator, size: int = 2):
-    """Background-thread prefetch of an iterator (double buffering)."""
+    """Background-thread prefetch of an iterator (double buffering).
+
+    Producer exceptions are re-raised in the consumer — a crashing loader
+    must fail the training loop loudly, not silently truncate the epoch."""
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     _END = object()
 
@@ -114,8 +125,9 @@ def prefetch(iterator, size: int = 2):
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -123,6 +135,8 @@ def prefetch(iterator, size: int = 2):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

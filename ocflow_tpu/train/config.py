@@ -59,6 +59,11 @@ class Config:
     result_dir: str = "results"
     log_dir: str = "tensorboard_logs"
     checkpoint_dir: str = "checkpoints"
+    # optional CSV metrics sink (rank-0): train rows every
+    # log_every_n_steps and one val row per epoch — a greppable/plottable
+    # record alongside TensorBoard (used for the EPE-vs-step curves in
+    # PERF.md; empty = disabled)
+    metrics_csv: str = ""
     # parallelism
     mesh_shape: Optional[Tuple[int, ...]] = None  # default: all devices on 'data'
     # compute dtype for the forward pass ('float32' | 'bfloat16')

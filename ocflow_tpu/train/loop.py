@@ -53,6 +53,41 @@ class SummaryLogger:
             self._writer.flush()
 
 
+class CsvLogger:
+    """Append metric rows to a CSV file (rank-0 only; no-op when path='').
+
+    One header from the first row's keys; later rows are aligned to it
+    (missing keys -> '', extra keys dropped) so train and val rows with
+    different metric sets can share a file via the 'phase' column."""
+
+    def __init__(self, path: str):
+        self._path = path if path and jax.process_index() == 0 else None
+        self._keys = None
+
+    def row(self, phase: str, step: int, epoch: int, metrics: dict):
+        if self._path is None:
+            return
+        vals = {k: float(v) for k, v in metrics.items()}
+        if self._keys is None:
+            self._keys = sorted(vals)
+            new = not os.path.exists(self._path)
+            if new:
+                d = os.path.dirname(self._path)
+                if d:
+                    os.makedirs(d, exist_ok=True)
+            with open(self._path, "a") as f:
+                if new:
+                    f.write("phase,step,epoch," + ",".join(self._keys) + "\n")
+        with open(self._path, "a") as f:
+            f.write(
+                f"{phase},{step},{epoch},"
+                + ",".join(
+                    "" if k not in vals else repr(vals[k]) for k in self._keys
+                )
+                + "\n"
+            )
+
+
 def make_loaders(cfg: Config):
     """Dataset → seeded 80/10/10 split → loaders (reference
     lightning_datamodule.py:50-69; ``overfit`` makes train=val=test)."""
@@ -110,6 +145,7 @@ def fit(
     ``log_image_every_epoch`` epochs (reference model.py:626-650).
     """
     logger = SummaryLogger(cfg.log_dir)
+    csv = CsvLogger(cfg.get("metrics_csv", ""))
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     if mesh is None and len(jax.devices()) > 1:
         mesh = parallel.make_mesh(cfg.mesh_shape)
@@ -127,7 +163,10 @@ def fit(
             state, metrics = train_step(state, *step_args, batch)
             timer.tick(cfg.batch_size)
             if global_step % cfg.log_every_n_steps == 0:
-                loss_val = float(metrics.get("loss", next(iter(metrics.values()))))
+                # ONE host fetch for the whole metrics dict (each float()
+                # is a separate device round trip under the axon relay)
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                loss_val = host.get("loss", next(iter(host.values())))
                 if not np.isfinite(loss_val):
                     # failure detection: surface divergence instead of
                     # silently training on NaNs (the reference only had a
@@ -136,9 +175,15 @@ def fit(
                         f"non-finite training loss {loss_val} at step "
                         f"{global_step} (epoch {epoch})"
                     )
-                for k, v in metrics.items():
+                for k, v in host.items():
                     logger.scalar(f"train_{k}", v, global_step)
                 logger.scalar("images_per_sec", timer.images_per_sec, global_step)
+                csv.row(
+                    "train",
+                    global_step,
+                    epoch,
+                    {**host, "images_per_sec": timer.images_per_sec},
+                )
             global_step += 1
 
         # validation
@@ -148,7 +193,12 @@ def fit(
             if first_val_batch is None:
                 first_val_batch = batch
             val_metrics.append(
-                {k: float(v) for k, v in eval_step(state, *step_args, batch).items()}
+                {
+                    k: float(v)
+                    for k, v in jax.device_get(
+                        eval_step(state, *step_args, batch)
+                    ).items()
+                }
             )
 
         # qualitative panels (reference dumps val images every
@@ -174,6 +224,7 @@ def fit(
         }
         for k, v in avg.items():
             logger.scalar(f"val_{k}", v, epoch)
+        csv.row("val", global_step, epoch, avg)
         monitored = avg.get("loss", next(iter(avg.values())))
         logger.scalar("monitored_loss", monitored, epoch)
         logger.flush()
@@ -194,7 +245,14 @@ def evaluate(cfg: Config, state, eval_step, loader, mesh=None, step_args=()):
     """Test loop: mean metrics over a loader."""
     out = []
     for batch in data_lib.device_iterator(loader, mesh):
-        out.append({k: float(v) for k, v in eval_step(state, *step_args, batch).items()})
+        out.append(
+            {
+                k: float(v)
+                for k, v in jax.device_get(
+                    eval_step(state, *step_args, batch)
+                ).items()
+            }
+        )
     if not out:
         return {}
     return {k: float(np.mean([m[k] for m in out])) for k in out[0]}

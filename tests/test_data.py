@@ -184,3 +184,23 @@ def test_loader_sharding():
 def test_prefetch_order():
     out = list(data.prefetch(iter(range(10)), size=3))
     assert out == list(range(10))
+
+
+def test_prefetch_propagates_producer_exception():
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = data.prefetch(boom(), size=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_loader_num_workers_zero_synchronous():
+    ds = data.SyntheticFlow(size=8, image_size=(16, 16))
+    loader = data.DataLoader(ds, batch_size=4, num_workers=0)
+    batches = list(loader)
+    assert len(batches) == 2 and batches[0]["images"].shape == (4, 16, 16, 6)
