@@ -22,6 +22,13 @@ def main():
     parser.add_argument("--root", default="")
     parser.add_argument("--image_size", type=int, nargs=2, default=None)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--dataset_size", type=int, default=None,
+        help="sample count for Synthetic* procedural datasets")
+    parser.add_argument(
+        "--dataset_seed", type=int, default=None,
+        help="generation seed for Synthetic* datasets (use a seed different "
+        "from training for a held-out evaluation set)")
     parser.add_argument("--with_fid", action="store_true")
     parser.add_argument(
         "--inception_weights",
@@ -52,7 +59,14 @@ def main():
     from ocflow_tpu.utils.checkpoint import load_subtree
 
     kwargs = {}
-    if args.dataset != "SyntheticFlow":
+    if args.dataset.startswith("Synthetic"):
+        if args.dataset_size:
+            kwargs["size"] = args.dataset_size
+        if args.dataset_seed is not None:
+            kwargs["seed"] = args.dataset_seed
+        if args.image_size:
+            kwargs["image_size"] = tuple(args.image_size)
+    else:
         kwargs["root"] = args.root
         if args.image_size:
             kwargs["image_size"] = tuple(args.image_size)

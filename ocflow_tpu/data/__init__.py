@@ -16,6 +16,7 @@ from ocflow_tpu.data.occlusion import (
 )
 from ocflow_tpu.data.datasets import DATASET_REGISTRY, SyntheticFlow, SyntheticFlowWarp
 from ocflow_tpu.data.pipeline import (
+    CacheDataset,
     DataLoader,
     random_split,
     prefetch,
@@ -37,6 +38,7 @@ __all__ = [
     "DATASET_REGISTRY",
     "SyntheticFlow",
     "SyntheticFlowWarp",
+    "CacheDataset",
     "DataLoader",
     "random_split",
     "prefetch",

@@ -30,6 +30,35 @@ class Subset(Dataset):
         return self.dataset[self.indices[index % self.size]]
 
 
+class CacheDataset(Dataset):
+    """In-memory sample cache around any dataset.
+
+    First access of an index pays the underlying decode/generation cost;
+    later epochs are RAM reads. For procedural datasets (SyntheticFlowWarp
+    generates ~0.4 s/sample of cv2 work) and small real splits this turns a
+    host-bound run into a device-bound one on few-core hosts. Thread-safe
+    for the loader's worker pool (worst case a sample is generated twice).
+    Budget: one 448x1024 flow pair is ~15 MB — size the dataset to RAM.
+    """
+
+    def __init__(self, dataset: Dataset):
+        self.dataset = dataset
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        with self._lock:
+            sample = self._cache.get(index)
+        if sample is None:
+            sample = self.dataset[index]
+            with self._lock:
+                self._cache[index] = sample
+        return sample
+
+
 def random_split(dataset: Dataset, fractions=(0.8, 0.1, 0.1), seed: int = 42):
     """Deterministic split (reference lightning_datamodule.py:50-53 uses
     torch.random_split with seed 42; here a numpy permutation)."""

@@ -327,6 +327,27 @@ def fast_apply_sharded(
     )(variables, x)
 
 
+def _fast_gate(variables: Any, x: jax.Array, mesh):
+    """Shared usability gate for the fused path: TPU backend, PWC param
+    tree, kernel-compatible shapes, mesh-divisible batch. Returns
+    (usable, mesh) — mesh defaults to a 1-D all-device mesh when the
+    backend is multi-device."""
+    if jax.default_backend() != "tpu":
+        return False, None
+    if "SiameseEncoder_0" not in variables.get("params", {}):
+        return False, None
+    h, w = x.shape[1], x.shape[2]
+    if h % 64 or w % 64 or (w // 4) % 128:
+        return False, None
+    if mesh is None and jax.device_count() > 1:
+        from ocflow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if mesh is not None and mesh.size > 1 and x.shape[0] % mesh.size:
+        return False, None
+    return True, mesh
+
+
 def maybe_fast_apply(
     variables: Any, x: jax.Array, diff: bool = False, mesh=None,
     axis: str = "data", th: int | None = None,
@@ -344,23 +365,37 @@ def maybe_fast_apply(
     devices), so the fused path survives real meshes instead of silently
     falling back to flax.
     """
-    if jax.default_backend() != "tpu":
+    ok, mesh = _fast_gate(variables, x, mesh)
+    if not ok:
         return None
-    if "SiameseEncoder_0" not in variables.get("params", {}):
-        return None
-    h, w = x.shape[1], x.shape[2]
-    if h % 64 or w % 64 or (w // 4) % 128:
-        return None
-    if mesh is None and jax.device_count() > 1:
-        from ocflow_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh()
-        axis = "data"
     if mesh is not None and mesh.size > 1:
-        if x.shape[0] % mesh.size:
-            return None
         return fast_apply_sharded(variables, x, mesh, axis, diff=diff, th=th)
     return fast_apply(variables, x, diff=diff, th=th)
+
+
+def maybe_fast_apply_pair(
+    variables: Any, x: jax.Array, diff: bool = True, mesh=None,
+    axis: str = "data", th: int | None = None,
+):
+    """``fast_apply_pair`` under the same gate/shard_map plumbing as
+    ``maybe_fast_apply``; None when the fused path is unusable."""
+    ok, mesh = _fast_gate(variables, x, mesh)
+    if not ok:
+        return None
+    if mesh is not None and mesh.size > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = functools.partial(fast_apply_pair, diff=diff, th=th)
+        sp = (P(axis), P(axis))
+        return shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(sp, sp),
+            check_vma=False,
+        )(variables, x)
+    return fast_apply_pair(variables, x, diff=diff, th=th)
 
 
 def fast_apply(
@@ -389,7 +424,67 @@ def fast_apply(
     both = enc(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0), **kw)
     f1 = [f[:b] for f in both]
     f2 = [f[b:] for f in both]
+    return _fast_decode(
+        p, f1, f2, displacement, warp_scales, normalize, warp_align_corners,
+        th, interpret, diff)
 
+
+def fast_apply_pair(
+    variables: Any,
+    x: jax.Array,
+    displacement: int = 4,
+    warp_scales=(0.625, 1.25, 2.5, 5.0),
+    normalize: bool = True,
+    warp_align_corners: bool = False,
+    th: int | None = None,
+    interpret: bool = False,
+    diff: bool = True,
+):
+    """Forward AND backward flow sharing ONE siamese encoder pass.
+
+    The occ-aware unsupervised step (reference model.py:366-409) runs the
+    whole network twice — on cat(img1,img2) and, under no_grad, on
+    cat(img2,img1). The encoder features of the two passes are the SAME
+    values (same params, same two images), so the backward-flow pass here
+    is decode-only on stop_gradient'd features — a pure CSE the
+    per-pass reference formulation cannot express. Exact: the top-level
+    normalize_features moments are symmetric in its two arguments
+    (correlation_layer.py:66-68), and every other backward-pass input is
+    a stop_gradient of an identical forward value.
+
+    Returns ``((flow_full, flow_l2), (back_full, back_l2))``; the backward
+    pair carries no gradients (features AND params stop-gradient'd) and
+    decodes through the inference kernels even when ``diff=True``.
+    """
+    p = variables["params"]
+    im1, im2 = x[..., :3], x[..., 3:]
+    b = x.shape[0]
+
+    both = _encoder_fused(
+        p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0),
+        th=th, interpret=interpret, diff=diff)
+    f1 = [f[:b] for f in both]
+    f2 = [f[b:] for f in both]
+    fwd = _fast_decode(
+        p, f1, f2, displacement, warp_scales, normalize, warp_align_corners,
+        th, interpret, diff)
+    sg = jax.lax.stop_gradient
+    ps = sg(p)
+    f1s = [sg(f) for f in f1]
+    f2s = [sg(f) for f in f2]
+    bwd = _fast_decode(
+        ps, f2s, f1s, displacement, warp_scales, normalize,
+        warp_align_corners, th, interpret, False)
+    return fwd, bwd
+
+
+def _fast_decode(
+    p, f1, f2, displacement, warp_scales, normalize, warp_align_corners,
+    th, interpret, diff,
+):
+    """Coarse-to-fine decode from precomputed feature pyramids (the body of
+    ``fast_apply`` below the encoder)."""
+    b = f1[0].shape[0]
     c16, c26 = f1[5], f2[5]
     if normalize:
         c16, c26 = normalize_features([c16, c26])

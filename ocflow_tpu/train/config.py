@@ -23,6 +23,11 @@ class Config:
     batch_size: int = 16
     num_workers: int = 6
     overfit: bool = False
+    # number of samples for the Synthetic* procedural datasets
+    dataset_size: Optional[int] = None
+    # wrap the dataset in an in-memory sample cache (data.CacheDataset) —
+    # first epoch pays decode/generation, later epochs are RAM reads
+    cache_data: bool = False
     # optimization
     learning_rate: float = 1e-3
     max_epochs: int = 100

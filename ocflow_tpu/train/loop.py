@@ -97,9 +97,13 @@ def make_loaders(cfg: Config):
         if "Inpainting" in cfg.dataset_name:
             kwargs["occlusion_ratio"] = cfg.occlusion_ratio
             kwargs["static_occ"] = cfg.static_occ
+    elif cfg.dataset_size:
+        kwargs["size"] = cfg.dataset_size
     if cfg.image_size:
         kwargs["image_size"] = tuple(cfg.image_size)
     dataset = data_lib.build_dataset(cfg.dataset_name, **kwargs)
+    if cfg.get("cache_data", False):
+        dataset = data_lib.CacheDataset(dataset)
     if cfg.overfit:
         train_ds = val_ds = test_ds = dataset
     else:

@@ -154,6 +154,14 @@ def make_unsupervised_flow_step(hparams: dict):
     # 'charbonnier' (reference parity) or 'census' (extension; the driver
     # north star lists photometric+census — BASELINE.json)
     photo_loss = hparams.get("photo_loss", "charbonnier")
+    from ocflow_tpu.models.precision import resolve_dtype as _rd
+
+    # loss-tail compute dtype: the full-res photometric warp gather is ~2x
+    # faster on bf16 data; reductions accumulate in fp32 (losses/*) and
+    # warp coordinates are always fp32 (ops/warp.py), so this only
+    # quantizes pixel VALUES — the same precision the bf16 network
+    # computed them at
+    tail_dt = _rd(hparams.get("compute_dtype"))
 
     def _photo(img_warped, img1, occ):
         if photo_loss == "census":
@@ -164,18 +172,31 @@ def make_unsupervised_flow_step(hparams: dict):
         imgs = batch["images"]
         img1, img2 = imgs[..., :3], imgs[..., 3:]
         out = None
+        back_pair = None
         if fast_mode == "both" and is_pwc and not batch_stats:
             # Fused-kernel forward for the gradient-carrying pass: Pallas
             # kernels with a manual XLA adjoint (custom VJP), grad-parity
             # tested vs the flax module in tests/test_pwc_fast.py. None
-            # off-TPU or when shapes miss the kernel constraints.
+            # off-TPU or when shapes miss the kernel constraints. When the
+            # step also needs the backward flow (occ_aware), the pair
+            # variant shares ONE encoder between the two passes (the
+            # features are the same values; reference recomputes them,
+            # model.py:375-386).
             from ocflow_tpu.models.precision import cast_floating, resolve_dtype
-            from ocflow_tpu.models.pwc_fast import maybe_fast_apply
+            from ocflow_tpu.models.pwc_fast import (
+                maybe_fast_apply,
+                maybe_fast_apply_pair,
+            )
 
             cdt = resolve_dtype(hparams.get("compute_dtype"))
             pc = cast_floating(params, cdt) if cdt is not None else params
             xi = cast_floating(imgs, cdt) if cdt is not None else imgs
-            out = maybe_fast_apply({"params": pc}, xi, diff=True)
+            if occ_aware:
+                pair = maybe_fast_apply_pair({"params": pc}, xi, diff=True)
+                if pair is not None:
+                    out, back_pair = pair
+            else:
+                out = maybe_fast_apply({"params": pc}, xi, diff=True)
         if out is not None:
             flow_pred, flow_l2 = out
             new_stats = batch_stats
@@ -183,7 +204,9 @@ def make_unsupervised_flow_step(hparams: dict):
             flow_pred, flow_l2, new_stats = _apply_flow_net(
                 state, params, batch_stats, imgs, train
             )
-        img_warped = warp(img2, flow_pred, align_corners=True, grad_img=False)
+        img1c = img1.astype(tail_dt) if tail_dt is not None else img1
+        img2c = img2.astype(tail_dt) if tail_dt is not None else img2
+        img_warped = warp(img2c, flow_pred, align_corners=True, grad_img=False)
 
         occ_pred = None
         if occ_aware:
@@ -196,7 +219,10 @@ def make_unsupervised_flow_step(hparams: dict):
             back_in = jnp.concatenate([img2, img1], axis=-1)
             back_flow = None
             back_l2 = None
-            if fast_mode in ("both", "backward") and is_pwc and not batch_stats:
+            if back_pair is not None:
+                back_flow = back_pair[0].astype(back_in.dtype)
+                back_l2 = back_pair[1].astype(back_in.dtype)
+            elif fast_mode in ("both", "backward") and is_pwc and not batch_stats:
                 # The pass carries no gradients, so the fused Pallas
                 # inference path (no VJP) is legal here; None off-TPU or
                 # when shapes miss the kernel constraints.
@@ -256,20 +282,20 @@ def make_unsupervised_flow_step(hparams: dict):
                     jnp.zeros_like(occ_pred),
                     occ_pred,
                 )
-            photo = _photo(img_warped, img1, occ_pred)
+            photo = _photo(img_warped, img1c, occ_pred)
         elif with_occ:
-            photo = _photo(img_warped, img1, batch["occ"])
+            photo = _photo(img_warped, img1c, batch["occ"])
         else:
-            photo = _photo(img_warped, img1, None)
+            photo = _photo(img_warped, img1c, None)
 
         if is_pwc and flow_l2 is not None:
             h, w = img1.shape[1] // 4, img1.shape[2] // 4
-            img1_s = resize_bilinear(img1, h, w, align_corners=True)
+            img1_s = resize_bilinear(img1c, h, w, align_corners=True)
             smooth1 = losses.first_order_smoothness_loss(img1_s, flow_l2)
             smooth2 = losses.second_order_smoothness_loss(img1_s, flow_l2)
         else:
-            smooth1 = losses.first_order_smoothness_loss(img1, flow_pred)
-            smooth2 = losses.second_order_smoothness_loss(img1, flow_pred)
+            smooth1 = losses.first_order_smoothness_loss(img1c, flow_pred)
+            smooth2 = losses.second_order_smoothness_loss(img1c, flow_pred)
 
         loss = photo_w * photo + s1_w * smooth1 + s2_w * smooth2
         metrics = {
@@ -292,7 +318,7 @@ def make_unsupervised_flow_step(hparams: dict):
             )
         if occ_aware:
             metrics["photometric_occ"] = losses.photometric_error(
-                img_warped, img1, 1.0 - occ_pred
+                img_warped, img1c, 1.0 - occ_pred
             )
             if "occ" in batch:
                 # NB: reference reverses the BCE arguments (model.py:407);

@@ -204,3 +204,21 @@ def test_loader_num_workers_zero_synchronous():
     loader = data.DataLoader(ds, batch_size=4, num_workers=0)
     batches = list(loader)
     assert len(batches) == 2 and batches[0]["images"].shape == (4, 16, 16, 6)
+
+
+def test_cache_dataset_counts_and_values():
+    class Counting(data.SyntheticFlow):
+        calls = 0
+
+        def __getitem__(self, index):
+            Counting.calls += 1
+            return super().__getitem__(index)
+
+    ds = data.CacheDataset(Counting(size=4, image_size=(16, 16)))
+    import numpy as np
+
+    a = ds[1]
+    b = ds[1]
+    assert Counting.calls == 1  # second access served from cache
+    assert all(np.array_equal(a[k], b[k]) for k in a)
+    assert len(ds) == 4

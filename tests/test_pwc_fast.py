@@ -302,3 +302,45 @@ def test_fast_apply_diff_grads_match_flax():
         np.testing.assert_allclose(
             b / scale, a / scale, atol=5e-3,
             err_msg=f"grad mismatch at {'/'.join(k)}")
+
+
+@pytest.mark.slow
+def test_fast_apply_pair_matches_two_applies():
+    """fast_apply_pair == (fast_apply(x), fast_apply(swap(x))) with ONE
+    encoder, and the backward pair carries ZERO gradient (it replaces the
+    reference's no_grad backward-flow pass, model.py:381-386)."""
+    from ocflow_tpu.models.pwc_fast import fast_apply_pair
+
+    rng = np.random.default_rng(8)
+    B, H, W = 1, 64, 512
+    net = FlowNetCV()
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    xs = jnp.concatenate([x[..., 3:], x[..., :3]], axis=-1)
+    variables = net.init(jax.random.PRNGKey(0), x)
+
+    (fwd_full, fwd_l2), (bwd_full, bwd_l2) = fast_apply_pair(
+        variables, x, th=8, interpret=True, diff=True)
+    want_f = fast_apply(variables, x, th=8, interpret=True)
+    want_b = fast_apply(variables, xs, th=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd_l2), np.asarray(want_f[1]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fwd_full), np.asarray(want_f[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bwd_l2), np.asarray(want_b[1]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bwd_full), np.asarray(want_b[0]), atol=2e-3)
+
+    # gradient only flows through the forward pair
+    def loss_pair(params):
+        (f1, _), (b1, _) = fast_apply_pair(
+            {"params": params}, x, th=8, interpret=True, diff=True)
+        return jnp.mean(f1**2) + 3.0 * jnp.mean(b1**2)
+
+    def loss_fwd_only(params):
+        f1, _ = fast_apply(
+            {"params": params}, x, th=8, interpret=True, diff=True)
+        return jnp.mean(f1**2)
+
+    gp = jax.grad(loss_pair)(variables["params"])
+    gf = jax.grad(loss_fwd_only)(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
