@@ -55,7 +55,9 @@ def census_loss(
     mask = mask.at[:, pad : h - pad, pad : w - pad].set(1.0)
     if occ is not None:
         mask = mask * (1.0 - occ)
-    return jnp.sum(robust_l1(ham) * mask) / (jnp.sum(mask) + 1e-16)
+    # float32 accumulation (see photometric_error)
+    num = jnp.sum((robust_l1(ham) * mask).astype(jnp.float32))
+    return num / (jnp.sum(mask.astype(jnp.float32)) + 1e-16)
 
 
 def photometric_error(img_pred: jax.Array, img: jax.Array, occ: jax.Array | None = None) -> jax.Array:
@@ -70,8 +72,11 @@ def photometric_error(img_pred: jax.Array, img: jax.Array, occ: jax.Array | None
         (models/model.py:37-46 — the *3 accounts for the RGB channels since
         the mask broadcasts over them).
     """
-    error = robust_l1(img_pred - img)
+    # elementwise error in the input dtype (bf16-cheap under mixed
+    # precision), accumulation in float32 — a bf16 sum over ~10M pixels
+    # loses the loss signal entirely (8-bit mantissa)
+    error = robust_l1(img_pred - img).astype(jnp.float32)
     if occ is None:
         return jnp.mean(error)
-    vis = 1.0 - occ
+    vis = (1.0 - occ).astype(jnp.float32)
     return jnp.sum(error * vis) / (jnp.sum(vis) * 3.0 + 1e-16)

@@ -35,7 +35,11 @@ def edge_aware_smoothness_loss(img: jax.Array, flow: jax.Array, alpha: float = 1
     flow_dy_n = jnp.linalg.norm(flow_dy, axis=-1)
     loss_dx = flow_dx_n * jnp.exp(-alpha * img_dx_n)
     loss_dy = flow_dy_n * jnp.exp(-alpha * img_dy_n)
-    return 0.5 * (jnp.mean(robust_l1(loss_dx)) + jnp.mean(robust_l1(loss_dy)))
+    # float32 accumulation (bf16 means over ~1M pixels lose the signal)
+    return 0.5 * (
+        jnp.mean(robust_l1(loss_dx).astype(jnp.float32))
+        + jnp.mean(robust_l1(loss_dy).astype(jnp.float32))
+    )
 
 
 def first_order_smoothness_loss(img: jax.Array, flow: jax.Array, alpha: float = 100.0) -> jax.Array:
@@ -45,9 +49,10 @@ def first_order_smoothness_loss(img: jax.Array, flow: jax.Array, alpha: float = 
     weights_x = jnp.exp(-jnp.mean((alpha * img_gx) ** 2, axis=-1, keepdims=True))
     weights_y = jnp.exp(-jnp.mean((alpha * img_gy) ** 2, axis=-1, keepdims=True))
     flow_gx, flow_gy = image_gradient(flow)
+    # float32 accumulation (see edge_aware_smoothness_loss)
     return 0.5 * (
-        jnp.mean(weights_x * robust_l1(flow_gx))
-        + jnp.mean(weights_y * robust_l1(flow_gy))
+        jnp.mean((weights_x * robust_l1(flow_gx)).astype(jnp.float32))
+        + jnp.mean((weights_y * robust_l1(flow_gy)).astype(jnp.float32))
     )
 
 
@@ -60,7 +65,8 @@ def second_order_smoothness_loss(img: jax.Array, flow: jax.Array, alpha: float =
     flow_gx, flow_gy = image_gradient(flow)
     flow_gxx, _ = image_gradient(flow_gx)
     _, flow_gyy = image_gradient(flow_gy)
+    # float32 accumulation (see edge_aware_smoothness_loss)
     return 0.5 * (
-        jnp.mean(weights_xx * robust_l1(flow_gxx))
-        + jnp.mean(weights_yy * robust_l1(flow_gyy))
+        jnp.mean((weights_xx * robust_l1(flow_gxx)).astype(jnp.float32))
+        + jnp.mean((weights_yy * robust_l1(flow_gyy)).astype(jnp.float32))
     )

@@ -35,7 +35,11 @@ def compute_range_map(flow: jax.Array) -> jax.Array:
         [B, H, W, 1] range map: sum of bilinear weights landing on each pixel.
     """
     b, h, w, _ = flow.shape
-    coords = flow_to_warp(flow)  # [B, H, W, 2]
+    # float32 throughout: bf16 coordinates quantize the splat TARGETS
+    # (1 px spacing past x=256), and a bf16 scatter-add both loses counts
+    # (8-bit mantissa accumulation) and is the prime suspect for the
+    # 'both'+range_map TPU worker faults observed at 448x1024 batch 8
+    coords = flow_to_warp(flow.astype(jnp.float32))  # [B, H, W, 2]
     floor = jnp.floor(coords)
     offset = (coords - floor).reshape(b, h * w, 2)
     floor = floor.astype(jnp.int32).reshape(b, h * w, 2)
@@ -51,13 +55,13 @@ def compute_range_map(flow: jax.Array) -> jax.Array:
             valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
             wx = (1.0 - di) - ((-1.0) ** di) * offset[..., 0]
             wy = (1.0 - dj) - ((-1.0) ** dj) * offset[..., 1]
-            wts.append(wx * wy * valid.astype(flow.dtype))
+            wts.append(wx * wy * valid.astype(jnp.float32))
             idxs.append(jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1))
     idx = jnp.concatenate(idxs, axis=1)  # [B, 4HW]
     wt = jnp.concatenate(wts, axis=1)
 
     def splat_one(idx_i, wt_i):
-        return jnp.zeros((h * w,), dtype=flow.dtype).at[idx_i].add(wt_i)
+        return jnp.zeros((h * w,), dtype=jnp.float32).at[idx_i].add(wt_i)
 
     counts = jax.vmap(splat_one)(idx, wt)
     return counts.reshape(b, h, w, 1)
@@ -93,8 +97,10 @@ def _warp_nograd(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
         x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 2)
         y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 2)
         g = _gather_2x2(im, x0, y0)
-        wx, wy = _hat_weights(xx, x0, yy, y0, im.dtype)
-        return jnp.einsum("nyxc,ny,nx->nc", g, wy, wx).reshape(h, w, c)
+        wx, wy = _hat_weights(xx, x0, yy, y0)
+        return jnp.einsum(
+            "nyxc,ny,nx->nc", g, wy.astype(im.dtype), wx.astype(im.dtype)
+        ).reshape(h, w, c)
 
     return jax.vmap(one)(img, x, y)
 
@@ -125,10 +131,12 @@ def occlusion_fb_consistency(
 
     Returns [B, H, W, 1]; 1 = occluded, 0 = visible.
     """
-    flow_fwd = jax.lax.stop_gradient(flow_fwd)
-    flow_bwd = jax.lax.stop_gradient(flow_bwd)
+    # coordinate math in float32 (bf16 flows would quantize the round-trip
+    # test past x=256 — see ops/warp.py); the mask itself is exact
+    flow_fwd = jax.lax.stop_gradient(flow_fwd).astype(jnp.float32)
+    flow_bwd = jax.lax.stop_gradient(flow_bwd).astype(jnp.float32)
     _, h, w, _ = flow_fwd.shape
-    xx, yy = mesh_grid(h, w, flow_fwd.dtype)
+    xx, yy = mesh_grid(h, w, jnp.float32)
     x = xx[None] + flow_fwd[..., 0]
     y = yy[None] + flow_fwd[..., 1]
     bwd_at = _warp_nograd(flow_bwd, x, y)
@@ -136,4 +144,4 @@ def occlusion_fb_consistency(
     sq_mag = jnp.sum(flow_fwd**2 + bwd_at**2, axis=-1)
     inconsistent = sq_diff > alpha1 * sq_mag + alpha2
     out_of_frame = (x < 0) | (x > w - 1) | (y < 0) | (y > h - 1)
-    return (inconsistent | out_of_frame)[..., None].astype(flow_fwd.dtype)
+    return (inconsistent | out_of_frame)[..., None].astype(jnp.float32)

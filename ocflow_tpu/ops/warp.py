@@ -62,13 +62,17 @@ def _gather_2x2(img: jax.Array, x0: jax.Array, y0: jax.Array) -> jax.Array:
     )  # [N, 2, 2, C]
 
 
-def _hat_weights(x, x0, y, y0, dtype):
+def _hat_weights(x, x0, y, y0):
     """Bilinear hat weights at the (clipped) 2x2 tap positions. Taps farther
     than 1px — including every out-of-bounds tap — get weight 0, which is
-    exactly grid_sample's zero padding."""
+    exactly grid_sample's zero padding. Always computed in float32: with
+    bf16 coordinates the 8-bit mantissa quantizes tap positions (spacing
+    1.0 px for x in [256, 512), 4.0 px past 1024) — coordinate math must
+    not inherit the flow dtype."""
+    dtype = jnp.float32
     two = jnp.arange(2, dtype=dtype)[None]
-    fx = x.reshape(-1)[:, None]
-    fy = y.reshape(-1)[:, None]
+    fx = x.reshape(-1)[:, None].astype(dtype)
+    fy = y.reshape(-1)[:, None].astype(dtype)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - (x0.reshape(-1)[:, None].astype(dtype) + two)))
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - (y0.reshape(-1)[:, None].astype(dtype) + two)))
     return wx, wy
@@ -93,8 +97,9 @@ def _sample_bilinear_zero_pad(img: jax.Array, x: jax.Array, y: jax.Array, _meta=
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
     gathered = _gather_2x2(img, x0, y0)
-    wx, wy = _hat_weights(x, x0, y, y0, img.dtype)
-    out = jnp.einsum("nyxc,ny,nx->nc", gathered, wy, wx)
+    wx, wy = _hat_weights(x, x0, y, y0)
+    out = jnp.einsum(
+        "nyxc,ny,nx->nc", gathered, wy.astype(img.dtype), wx.astype(img.dtype))
     return out.reshape(*x.shape, c)
 
 
@@ -103,11 +108,13 @@ def _sample_fwd(img, x, y, _meta):
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
     gathered = _gather_2x2(img, x0, y0)
-    wx, wy = _hat_weights(x, x0, y, y0, img.dtype)
-    out = jnp.einsum("nyxc,ny,nx->nc", gathered, wy, wx)
+    wx, wy = _hat_weights(x, x0, y, y0)
+    out = jnp.einsum(
+        "nyxc,ny,nx->nc", gathered, wy.astype(img.dtype), wx.astype(img.dtype))
     # tap-relative offsets (needed for the hat-derivative signs in bwd)
-    tx = x.reshape(-1) - x0.reshape(-1).astype(x.dtype)
-    ty = y.reshape(-1) - y0.reshape(-1).astype(y.dtype)
+    fdt = jnp.float32
+    tx = x.reshape(-1).astype(fdt) - x0.reshape(-1).astype(fdt)
+    ty = y.reshape(-1).astype(fdt) - y0.reshape(-1).astype(fdt)
     return out.reshape(*x.shape, c), (x0, y0, gathered, wx, wy, tx, ty)
 
 
@@ -152,10 +159,12 @@ def _sample_bwd(meta, res, g):
     dwy = jnp.stack([dhat(tyf, wyf[:, 0]), dhat(tyf - 1.0, wyf[:, 1])], axis=-1)
     dx_grad = jnp.einsum("nyx,ny,nx->n", gsum, wyf, dwx)
     dy_grad = jnp.einsum("nyx,ny,nx->n", gsum, dwy, wxf)
+    # coordinates are always float32 primals (see warp()), so their
+    # cotangents are too
     return (
         dimg,
-        dx_grad.reshape(spatial).astype(dtype),
-        dy_grad.reshape(spatial).astype(dtype),
+        dx_grad.reshape(spatial),
+        dy_grad.reshape(spatial),
     )
 
 
@@ -195,7 +204,11 @@ def warp(
         warped image [B, H, W, C] (and optionally the validity mask).
     """
     _, h, w, _ = img.shape
-    coords = flow_to_warp(flow)
+    # Coordinate math in float32 ALWAYS: bf16 flows would quantize sampling
+    # positions to the bf16 grid (1 px spacing past x=256, 4 px past 1024).
+    # The gather + interpolation stay in img.dtype (the gather is ~2x
+    # faster on bf16 data); only the coordinates/weights are exact.
+    coords = flow_to_warp(flow.astype(jnp.float32))
     x = coords[..., 0]
     y = coords[..., 1]
     if not align_corners:

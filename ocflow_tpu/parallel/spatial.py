@@ -96,7 +96,9 @@ def spatial_warp(
         idx = jax.lax.axis_index(axis_name)
         imgh = halo_exchange(img_blk, halo, axis_name)
         b, hs, w, _ = flow_blk.shape
-        xx, yy = mesh_grid(hs, w, dtype=flow_blk.dtype)
+        # coords always float32 (the sampler contract — ops/warp.py)
+        flow_blk = flow_blk.astype(jnp.float32)
+        xx, yy = mesh_grid(hs, w, dtype=jnp.float32)
         x = xx[None] + flow_blk[..., 0]
         # y in GLOBAL coords minus block start, plus the halo offset
         y = yy[None] + flow_blk[..., 1] + halo
