@@ -144,13 +144,15 @@ def make_unsupervised_flow_step(hparams: dict):
     # nearest-upsampled — 16x less occlusion work; see the block below)
     occ_res = hparams.get("occ_resolution", "full")
     is_pwc = hparams.get("model", "simple") == "pwc"
-    # fused-kernel usage inside the step: 'backward' (default) runs the
-    # fused Pallas inference path for the no-grad backward-flow pass;
-    # 'both' additionally uses the differentiable fused path for the
-    # gradient-carrying forward — opt-in because the combined program
-    # exceeds the 2 GiB AOT executable-serialization cap of some stacks
-    # (e.g. the axon TPU relay); 'off' uses the flax module throughout.
-    fast_mode = hparams.get("fast_forward", "backward")
+    # fused-kernel usage inside the step: 'both' (default) runs the
+    # differentiable fused path for the gradient-carrying forward AND
+    # (occ_aware) shares its encoder with the no-grad backward-flow pass
+    # — measured 33-38 pairs/s vs 29-32 for 'backward' at 448x1024 batch 8
+    # (PERF.md). 'backward' restricts the kernels to the no-grad pass;
+    # 'off' uses the flax module throughout. The shared-encoder pair
+    # program fits the 2 GiB AOT executable-serialization cap that made
+    # 'both' opt-in in round 2.
+    fast_mode = hparams.get("fast_forward", "both")
     # 'charbonnier' (reference parity) or 'census' (extension; the driver
     # north star lists photometric+census — BASELINE.json)
     photo_loss = hparams.get("photo_loss", "charbonnier")
