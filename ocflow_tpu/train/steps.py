@@ -147,7 +147,7 @@ def make_unsupervised_flow_step(hparams: dict):
     # fused-kernel usage inside the step: 'both' (default) runs the
     # differentiable fused path for the gradient-carrying forward AND
     # (occ_aware) shares its encoder with the no-grad backward-flow pass
-    # — measured 33-38 pairs/s vs 29-32 for 'backward' at 448x1024 batch 8
+    # — measured ~34 pairs/s vs ~29.5 for 'backward' at 448x1024 batch 8
     # (PERF.md). 'backward' restricts the kernels to the no-grad pass;
     # 'off' uses the flax module throughout. The shared-encoder pair
     # program fits the 2 GiB AOT executable-serialization cap that made
