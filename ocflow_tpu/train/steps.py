@@ -31,6 +31,12 @@ from ocflow_tpu.ops import (
 from ocflow_tpu.train.state import TrainState
 
 
+def _area_down(x: jax.Array, f: int) -> jax.Array:
+    """f-x area (average-pool) downsample of an NHWC map."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // f, f, w // f, f, c).mean(axis=(2, 4))
+
+
 def _apply_flow_net(state: TrainState, params, batch_stats, x, train: bool):
     """Run a flow net, normalizing the (flow, flow_l2 | flow) signatures and
     threading BatchNorm stats. Returns (flow_full, flow_l2_or_None, new_stats)."""
@@ -156,6 +162,16 @@ def make_unsupervised_flow_step(hparams: dict):
     # 'charbonnier' (reference parity) or 'census' (extension; the driver
     # north star lists photometric+census — BASELINE.json)
     photo_loss = hparams.get("photo_loss", "charbonnier")
+    # 'full' (reference parity: warp img2 and compare at input resolution,
+    # model.py:366-379) | 'half' | 'quarter': compute the photometric term
+    # on area-downsampled images with correspondingly rescaled flow. The
+    # full-res warp is ONE XLA gather whose cost is per-descriptor
+    # (~11-22 ns/pixel, PERF.md): 82 ms of the 238 ms occ-aware step at
+    # 448x1024 batch 8. 'half' cuts it 4x while still supervising finer
+    # detail than the decoder's native quarter-res flow; measured
+    # tradeoffs in PERF.md. Extension beyond the reference — default
+    # stays 'full'.
+    photo_res = hparams.get("photo_resolution", "full")
     from ocflow_tpu.models.precision import resolve_dtype as _rd
 
     # loss-tail compute dtype: the full-res photometric warp gather is ~2x
@@ -208,7 +224,17 @@ def make_unsupervised_flow_step(hparams: dict):
             )
         img1c = img1.astype(tail_dt) if tail_dt is not None else img1
         img2c = img2.astype(tail_dt) if tail_dt is not None else img2
-        img_warped = warp(img2c, flow_pred, align_corners=True, grad_img=False)
+        if photo_res != "full":
+            pf = 2 if photo_res == "half" else 4
+            ph, pw = img1.shape[1] // pf, img1.shape[2] // pf
+            img1p = _area_down(img1c, pf)
+            img2p = _area_down(img2c, pf)
+            flow_p = resize_bilinear(
+                flow_pred, ph, pw, align_corners=True) * (1.0 / pf)
+        else:
+            pf = 1
+            img1p, img2p, flow_p = img1c, img2c, flow_pred
+        img_warped = warp(img2p, flow_p, align_corners=True, grad_img=False)
 
         occ_pred = None
         if occ_aware:
@@ -284,11 +310,13 @@ def make_unsupervised_flow_step(hparams: dict):
                     jnp.zeros_like(occ_pred),
                     occ_pred,
                 )
-            photo = _photo(img_warped, img1c, occ_pred)
+            occ_photo = occ_pred if pf == 1 else _area_down(occ_pred, pf)
+            photo = _photo(img_warped, img1p, occ_photo)
         elif with_occ:
-            photo = _photo(img_warped, img1c, batch["occ"])
+            occ_gt = batch["occ"] if pf == 1 else _area_down(batch["occ"], pf)
+            photo = _photo(img_warped, img1p, occ_gt)
         else:
-            photo = _photo(img_warped, img1c, None)
+            photo = _photo(img_warped, img1p, None)
 
         if is_pwc and flow_l2 is not None:
             h, w = img1.shape[1] // 4, img1.shape[2] // 4
@@ -320,7 +348,7 @@ def make_unsupervised_flow_step(hparams: dict):
             )
         if occ_aware:
             metrics["photometric_occ"] = losses.photometric_error(
-                img_warped, img1c, 1.0 - occ_pred
+                img_warped, img1p, 1.0 - occ_photo
             )
             if "occ" in batch:
                 # NB: reference reverses the BCE arguments (model.py:407);

@@ -165,3 +165,37 @@ def test_pwc_occ_aware_quarter_resolution(rng):
         )
         _, metrics = train_step(state, batch)
         assert np.isfinite(float(metrics["loss"])), method
+
+
+def test_unsupervised_photo_resolution_half(rng):
+    """photo_resolution='half'/'quarter' computes the photometric term on
+    area-downsampled images with rescaled flow (extension; default 'full'
+    is reference parity). Each resolution must run finitely with nonzero
+    grads, and the losses must stay the same order of magnitude (the
+    absolute level shrinks with resolution on noise-like images because
+    area downsampling reduces contrast)."""
+    net = models.SimpleFlowNet()
+    batch = synthetic_batch(rng)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), batch["images"], optax.adam(1e-4)
+    )
+    outs = {}
+    for res in ("full", "half", "quarter"):
+        train_step, _ = steps.make_unsupervised_flow_step(
+            {"photo_weight": 1.0, "occ_aware": True,
+             "occ_method": "fb_consistency", "photo_resolution": res}
+        )
+        new_state, metrics = train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"])), res
+        assert np.isfinite(float(metrics["photometric_occ"])), res
+        g = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: np.abs(np.asarray(a - b)).sum(),
+                new_state.params, state.params))
+        assert sum(float(v) for v in g) > 0, res
+        outs[res] = float(metrics["photometric"])
+    # the losses are computed on different grids but measure the same
+    # misalignment; same order of magnitude, monotone in resolution on
+    # noise images
+    assert 0.1 * outs["full"] < outs["half"] < 4.0 * outs["full"]
+    assert 0.05 * outs["full"] < outs["quarter"] < 4.0 * outs["full"]
