@@ -22,6 +22,9 @@ def main():
 
     from ocflow_tpu.models import FlowNetCV
     from ocflow_tpu.models.pwc_fast import fast_apply
+    from ocflow_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     h, w = (448, 1024) if on_tpu else (64, 128)  # CPU fallback for smoke runs

@@ -18,6 +18,7 @@ from ocflow_tpu.data.datasets import DATASET_REGISTRY, SyntheticFlow, SyntheticF
 from ocflow_tpu.data.pipeline import (
     CacheDataset,
     DataLoader,
+    DeviceCacheLoader,
     random_split,
     prefetch,
     device_iterator,
@@ -40,6 +41,7 @@ __all__ = [
     "SyntheticFlowWarp",
     "CacheDataset",
     "DataLoader",
+    "DeviceCacheLoader",
     "random_split",
     "prefetch",
     "device_iterator",

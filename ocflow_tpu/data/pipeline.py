@@ -142,6 +142,92 @@ class DataLoader:
             }
 
 
+class DeviceCacheLoader(DataLoader):
+    """Device-resident dataset cache (tf.data ``.cache()``-on-device analog).
+
+    Uploads the WHOLE dataset to device HBM once (cast to ``cache_dtype``,
+    default bfloat16 — halves the upload and the resident footprint) and
+    serves batches as on-device gathers, so the host->device boundary
+    disappears from the step loop entirely. Motivation (measured, PERF.md):
+    on a relay-attached TPU the per-step transfer is the training wall —
+    117 MB fp32 batches at 448x1024 batch 8 took 9.3 s/step against 0.34 s
+    of compute; with the cache, steps run at device speed. Budget: the
+    dataset must fit in HBM next to the training state (160 448x1024 flow
+    pairs in bf16 ~= 1.2 GB of the v5e's 16 GB).
+
+    Same protocol as DataLoader (``set_epoch``/``len``/``iter``) but yields
+    dicts of committed ``jax.Array``s; ``device_iterator`` passes device
+    arrays through (its ``device_put`` is a no-op on already-placed,
+    unsharded arrays and a reshard on a mesh).
+
+    Integer-typed sample entries (e.g. KITTI validity masks) keep their
+    dtype; only floating arrays are cast, and keys in ``fp32_keys``
+    (default: supervision/metric targets — ``flow``, ``occlusion``,
+    ``valid``) stay fp32: bf16 has 8 mantissa bits, so a GT flow of
+    30 px would be quantized to a 0.125 px grid and bias every EPE
+    measurement taken against it.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 6,
+        drop_last: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        cache_dtype="bfloat16",
+        fp32_keys=("flow", "occlusion", "valid"),
+    ):
+        super().__init__(
+            dataset, batch_size, shuffle, seed, num_workers, drop_last,
+            shard_index, num_shards)
+        self.cache_dtype = cache_dtype
+        self.fp32_keys = frozenset(fp32_keys)
+        self._arrays = None
+
+    def _ensure_cache(self):
+        if self._arrays is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        n = len(self.dataset)
+        idx = range(n)
+        if self.num_workers > 0:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                samples = list(pool.map(self.dataset.__getitem__, idx))
+        else:
+            samples = [self.dataset[i] for i in idx]
+        self._arrays = {}
+        for k in samples[0]:
+            stacked = np.stack([s[k] for s in samples])
+            if np.issubdtype(stacked.dtype, np.floating):
+                target = (np.dtype(np.float32) if k in self.fp32_keys
+                          else jnp.dtype(self.cache_dtype))
+            else:
+                target = stacked.dtype
+            self._arrays[k] = jax.device_put(
+                jnp.asarray(stacked, dtype=target))
+
+    def __iter__(self) -> Iterator[dict]:
+        import jax.numpy as jnp
+
+        self._ensure_cache()
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    break
+                # eval semantics: keep the ragged batch
+            ci = jnp.asarray(np.asarray(chunk, np.int32))
+            yield {k: jnp.take(v, ci, axis=0) for k, v in self._arrays.items()}
+
+
 def prefetch(iterator, size: int = 2):
     """Background-thread prefetch of an iterator (double buffering).
 
@@ -191,9 +277,15 @@ def device_iterator(loader, mesh=None, prefetch_size: int = 2):
             return jax.tree_util.tree_map(jax.device_put, batch)
         b = next(iter(batch.values())).shape[0]
         if b % n_dev:
+            # device-resident batches (DeviceCacheLoader) must pad on
+            # device — np ops would round-trip them through the host
+            import jax.numpy as jnp
+
+            xp = jnp if isinstance(
+                next(iter(batch.values())), jax.Array) else np
             pad = n_dev - (b % n_dev)
             batch = {
-                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                k: xp.concatenate([v, xp.repeat(v[-1:], pad, axis=0)])
                 for k, v in batch.items()
             }
         return jax.tree_util.tree_map(

@@ -28,6 +28,11 @@ class Config:
     # wrap the dataset in an in-memory sample cache (data.CacheDataset) —
     # first epoch pays decode/generation, later epochs are RAM reads
     cache_data: bool = False
+    # upload the whole dataset to device HBM once and serve batches as
+    # on-device gathers (data.DeviceCacheLoader) — removes the
+    # host->device transfer from the step loop; dataset must fit in HBM
+    device_cache: bool = False
+    device_cache_dtype: str = "bfloat16"
     # optimization
     learning_rate: float = 1e-3
     max_epochs: int = 100

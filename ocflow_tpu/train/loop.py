@@ -115,9 +115,8 @@ def make_loaders(cfg: Config):
     def mk(ds, shuffle):
         # train drops the ragged last batch (static shapes, no recompiles);
         # eval pads up by keeping it — a small split must still yield batches
-        return data_lib.DataLoader(
-            ds,
-            cfg.batch_size,
+        kw = dict(
+            batch_size=cfg.batch_size,
             shuffle=shuffle,
             seed=cfg.seed,
             num_workers=cfg.num_workers,
@@ -125,6 +124,11 @@ def make_loaders(cfg: Config):
             shard_index=shard_index,
             num_shards=num_shards,
         )
+        if cfg.get("device_cache", False):
+            return data_lib.DeviceCacheLoader(
+                ds, cache_dtype=cfg.get("device_cache_dtype", "bfloat16"),
+                **kw)
+        return data_lib.DataLoader(ds, **kw)
 
     return mk(train_ds, True), mk(val_ds, False), mk(test_ds, False)
 

@@ -12,7 +12,12 @@ from ocflow_tpu.utils.checkpoint import (
     load_pytree,
     load_subtree,
 )
-from ocflow_tpu.utils.profiling import StepTimer, trace, annotate
+from ocflow_tpu.utils.profiling import (
+    StepTimer,
+    enable_compilation_cache,
+    trace,
+    annotate,
+)
 
 __all__ = [
     "flow_to_image",
@@ -24,6 +29,7 @@ __all__ = [
     "load_pytree",
     "load_subtree",
     "StepTimer",
+    "enable_compilation_cache",
     "trace",
     "annotate",
 ]

@@ -54,3 +54,19 @@ def trace(log_dir: str):
 def annotate(name: str):
     """Named trace annotation for profiler timelines."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def enable_compilation_cache(path: str = "/tmp/jaxcache"):
+    """Turn on JAX's persistent compilation cache.
+
+    Remote Mosaic/XLA compiles of the big fused training programs take
+    1-10 minutes through the axon relay; the persistent cache makes every
+    relaunch (and every post-crash retry) skip them. Called by the CLI
+    entry points (train.py / train_unsupervised.py / bench.py); library
+    users opt in themselves.
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even small/fast-compiling programs: the cost is disk, the win
+    # is relay round trips
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -222,3 +222,35 @@ def test_cache_dataset_counts_and_values():
     assert Counting.calls == 1  # second access served from cache
     assert all(np.array_equal(a[k], b[k]) for k in a)
     assert len(ds) == 4
+
+
+def test_device_cache_loader_matches_dataloader():
+    """DeviceCacheLoader yields the same batches (same seed/epoch order) as
+    DataLoader, as committed device arrays, including the ragged eval
+    batch; float entries are cast to cache_dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = data.SyntheticFlow(size=10, image_size=(16, 16))
+    host = data.DataLoader(ds, 4, shuffle=True, seed=3, num_workers=0,
+                           drop_last=True)
+    dev = data.DeviceCacheLoader(ds, 4, shuffle=True, seed=3, num_workers=0,
+                                 drop_last=True, cache_dtype="float32")
+    host.set_epoch(2)
+    dev.set_epoch(2)
+    hb = list(host)
+    db = list(dev)
+    assert len(hb) == len(db) == 2
+    for h, d in zip(hb, db):
+        for k in h:
+            assert isinstance(d[k], jax.Array)
+            np.testing.assert_allclose(np.asarray(d[k]), h[k], atol=1e-6)
+
+    # bf16 cast + ragged eval batch
+    dev16 = data.DeviceCacheLoader(ds, 4, shuffle=False, num_workers=0,
+                                   drop_last=False)
+    batches = list(dev16)
+    assert len(batches) == 3 and batches[-1]["images"].shape[0] == 2
+    assert batches[0]["images"].dtype == jnp.bfloat16
+    # metric/supervision targets must NOT be quantized to bf16
+    assert batches[0]["flow"].dtype == jnp.float32

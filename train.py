@@ -25,7 +25,9 @@ def main():
     from ocflow_tpu.train import config as config_lib
     from ocflow_tpu.train import loop, steps, steps_inpainting
     from ocflow_tpu.train.state import create_train_state
+    from ocflow_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = config_lib.load_config(args.config)
     if args.max_epochs is not None:
         cfg.max_epochs = args.max_epochs

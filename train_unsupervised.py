@@ -27,11 +27,13 @@ def main():
 
     from ocflow_tpu import models
     from ocflow_tpu.losses.perceptual import init_vgg16
+    from ocflow_tpu.utils import enable_compilation_cache
     from ocflow_tpu.train import config as config_lib
     from ocflow_tpu.train import loop, steps, steps_inpainting, steps_two_stage
     from ocflow_tpu.train.state import TrainState, create_train_state
     from ocflow_tpu.utils.checkpoint import load_subtree
 
+    enable_compilation_cache()
     cfg = config_lib.load_config(args.config)
     if args.max_epochs is not None:
         cfg.max_epochs = args.max_epochs
