@@ -14,7 +14,12 @@ from ocflow_tpu.data.occlusion import (
     free_form_occlusion,
     apply_occlusion,
 )
-from ocflow_tpu.data.datasets import DATASET_REGISTRY, SyntheticFlow, SyntheticFlowWarp
+from ocflow_tpu.data.datasets import (
+    DATASET_REGISTRY,
+    SyntheticFlow,
+    SyntheticFlowWarp,
+    SyntheticInpainting,
+)
 from ocflow_tpu.data.pipeline import (
     CacheDataset,
     DataLoader,
@@ -39,6 +44,7 @@ __all__ = [
     "DATASET_REGISTRY",
     "SyntheticFlow",
     "SyntheticFlowWarp",
+    "SyntheticInpainting",
     "CacheDataset",
     "DataLoader",
     "DeviceCacheLoader",

@@ -471,6 +471,45 @@ class SyntheticFlowWarp(Dataset):
         return sample
 
 
+class SyntheticInpainting(Dataset):
+    """Procedural inpainting samples: multi-octave texture frames (same
+    generator as SyntheticFlowWarp) + free-form occlusion strokes →
+    {'occluded', 'image', 'occ'}, the _InpaintingDataset contract
+    (reference datasets.py:396-463) without needing files. Stand-in for
+    FlyingChairsInpainting/MpiSintel*Inpainting in this zero-egress
+    environment; drives the inpainting GAN and two-stage regimes on TPU.
+    """
+
+    def __init__(self, size=64, image_size=(64, 128), occlusion_ratio=0.5,
+                 static_occ=False, seed=0):
+        self.size = size
+        self.image_size = image_size
+        self.occlusion_ratio = occlusion_ratio
+        self.static_occ = static_occ
+        self.seed = seed
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        import cv2
+
+        rng = np.random.default_rng((self.seed, 7, index % self.size))
+        h, w = self.image_size
+        img = np.zeros((h, w, 3), np.float32)
+        for sigma, amp in ((2.0, 1.0), (6.0, 1.5), (18.0, 2.0)):
+            img += cv2.GaussianBlur(
+                rng.uniform(-1, 1, (h, w, 3)).astype(np.float32),
+                (0, 0), sigma) * amp * sigma
+        img = np.clip(img / np.abs(img).max() * 1.6, -1.0, 1.0)
+        if self.static_occ:
+            mask = static_random_occlusion(rng, h, w, self.occlusion_ratio)
+        else:
+            mask = free_form_occlusion(rng, h, w, self.occlusion_ratio)
+        return {"occluded": apply_occlusion(img, mask), "image": img,
+                "occ": mask}
+
+
 class KITTI2015(_FlowPairDataset):
     """KITTI-2015 training layout: ``root/image_2/%06d_10.png`` +
     ``%06d_11.png`` frame pairs with ``root/<flow_type>/%06d_10.png`` 16-bit
@@ -538,4 +577,5 @@ DATASET_REGISTRY = {
     "ImgFlowOccFromFolder": ImgFlowOccFromFolder,
     "SyntheticFlow": SyntheticFlow,
     "SyntheticFlowWarp": SyntheticFlowWarp,
+    "SyntheticInpainting": SyntheticInpainting,
 }

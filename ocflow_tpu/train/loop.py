@@ -94,11 +94,11 @@ def make_loaders(cfg: Config):
     kwargs = {}
     if not cfg.dataset_name.startswith("Synthetic"):
         kwargs["root"] = cfg.root
-        if "Inpainting" in cfg.dataset_name:
-            kwargs["occlusion_ratio"] = cfg.occlusion_ratio
-            kwargs["static_occ"] = cfg.static_occ
     elif cfg.dataset_size:
         kwargs["size"] = cfg.dataset_size
+    if "Inpainting" in cfg.dataset_name:
+        kwargs["occlusion_ratio"] = cfg.occlusion_ratio
+        kwargs["static_occ"] = cfg.static_occ
     if cfg.image_size:
         kwargs["image_size"] = tuple(cfg.image_size)
     dataset = data_lib.build_dataset(cfg.dataset_name, **kwargs)

@@ -224,6 +224,24 @@ def test_cache_dataset_counts_and_values():
     assert len(ds) == 4
 
 
+def test_synthetic_inpainting_dataset():
+    """SyntheticInpainting fulfils the _InpaintingDataset contract:
+    deterministic per (seed, index), occluded = image * (1 - occ), mask
+    ratio near the requested value."""
+    ds = data.SyntheticInpainting(size=4, image_size=(64, 96),
+                                  occlusion_ratio=0.4, seed=1)
+    a, b = ds[1], ds[1]
+    assert set(a) == {"occluded", "image", "occ"}
+    assert a["image"].shape == (64, 96, 3) and a["occ"].shape == (64, 96, 1)
+    assert np.array_equal(a["image"], b["image"])
+    np.testing.assert_allclose(
+        a["occluded"], a["image"] * (1 - a["occ"]), atol=1e-6)
+    ratio = a["occ"].mean()
+    assert 0.05 < ratio < 0.8, ratio
+    assert not np.array_equal(ds[0]["image"], ds[1]["image"])
+    assert np.abs(a["image"]).max() <= 1.0
+
+
 def test_device_cache_loader_matches_dataloader():
     """DeviceCacheLoader yields the same batches (same seed/epoch order) as
     DataLoader, as committed device arrays, including the ragged eval

@@ -16,6 +16,7 @@ import argparse
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -158,7 +159,58 @@ def main():
             train_step = lambda st, batch: inner_train(st, frozen, batch)
             eval_step = lambda st, batch: inner_eval(st, frozen, batch)
 
-    state = loop.fit(cfg, state, train_step, eval_step, train_loader, val_loader)
+    viz_fn = None
+    if network_type == "flow":
+        # qualitative panels (reference model.py:626-650 dumps val images):
+        # frames / predicted-flow color / warped frame2 (+ GT flow when the
+        # dataset carries one)
+        from ocflow_tpu.ops.warp import warp as _warp
+        from ocflow_tpu.utils import panels as panels_lib
+
+        @jax.jit
+        def _viz_fwd(st, images):
+            flow, _, _ = steps._apply_flow_net(
+                st, st.params, st.batch_stats, images, train=False)
+            warped = _warp(images[..., 3:], flow, grad_img=False)
+            return flow, warped
+
+        def viz_fn(st, batch):
+            imgs = jnp.asarray(batch["images"][:1], jnp.float32)
+            flow, warped = jax.device_get(_viz_fwd(st, imgs))
+            img1 = np.asarray(imgs[0, ..., :3], np.float32)
+            img2 = np.asarray(imgs[0, ..., 3:], np.float32)
+            out = {"warp": panels_lib.warp_panel(
+                img1, img2, warped[0], flow[0])}
+            if "flow" in batch:
+                out["flow"] = panels_lib.flow_panel(
+                    img1, img2, flow[0],
+                    np.asarray(batch["flow"][0], np.float32))
+            return out
+
+    elif network_type == "inpainting":
+        from ocflow_tpu.utils import panels as panels_lib
+
+        @jax.jit
+        def _viz_gen(st, occluded, occ):
+            _, refined, _ = steps_inpainting._apply_generator(
+                st, st.params, st.batch_stats, occluded, occ, train=False)
+            return refined
+
+        def viz_fn(st, batch):
+            gs = st[0] if isinstance(st, tuple) else st
+            occluded = jnp.asarray(batch["occluded"][:1], jnp.float32)
+            occ = jnp.asarray(batch["occ"][:1], jnp.float32)
+            refined = np.asarray(
+                jax.device_get(_viz_gen(gs, occluded, occ))[0], np.float32)
+            image = np.asarray(batch["image"][0], np.float32)
+            occ0 = np.asarray(batch["occ"][0], np.float32)
+            complete = refined * occ0 + image * (1.0 - occ0)
+            return {"inpaint": panels_lib.inpainting_panel(
+                np.asarray(occluded[0], np.float32), refined, image,
+                complete)}
+
+    state = loop.fit(cfg, state, train_step, eval_step, train_loader,
+                     val_loader, viz_fn=viz_fn)
     results = loop.evaluate(cfg, state, eval_step, test_loader)
     print("test:", results)
 
