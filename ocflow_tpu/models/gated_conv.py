@@ -94,9 +94,22 @@ class GatedConv(nn.Module):
     batch_norm: bool = True
     activation: str | None = "leaky_relu"  # 'leaky_relu' | 'tanh' | None
     spectral_norm: bool = False
+    # rematerialize this block's forward in the backward pass
+    # (jax.checkpoint): at 448x1024 the GAN training step's activation
+    # temps exceed HBM (measured 15.7 GB requested, 16 GB chip) — remat
+    # caps the live set at one block's activations for one extra forward
+    # of FLOPs. Enabled via InpaintSANet(remat=True) (the `remat` config
+    # key); off by default.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        body = lambda mdl, y: mdl._body(y, train)
+        if self.remat:
+            body = nn.remat(body)
+        return body(self, x)
+
+    def _body(self, x, train: bool):
         tower = _ProjConv if self.projected else _Conv
         kwargs = dict(
             features=self.features,
@@ -124,10 +137,16 @@ class GatedDeConv(nn.Module):
     features: int
     kernel_size: int = 3
     projected: bool = True
+    remat: bool = False  # see GatedConv.remat; wraps resize + conv together
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b, h, w, c = x.shape
+        body = lambda mdl, y: mdl._body(y, train)
+        if self.remat:
+            body = nn.remat(body)
+        return body(self, x)
+
+    def _body(self, x, train: bool):
         # F.interpolate default mode is 'nearest' (reference :125)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return GatedConv(
@@ -166,12 +185,13 @@ class _GeneratorTrunk(nn.Module):
 
     projected: bool = True
     cnum: int = 32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = lambda f, k, s=1, d=1, act="leaky_relu", pr=4: GatedConv(
             f, k, stride=s, dilation=d, projected=self.projected,
-            proj_ratio=pr, activation=act,
+            proj_ratio=pr, activation=act, remat=self.remat,
         )
         c = self.cnum
         x = g(c, 5, pr=1)(x, train)
@@ -186,9 +206,9 @@ class _GeneratorTrunk(nn.Module):
         x = g(4 * c, 3, d=16)(x, train)
         x = g(4 * c, 3)(x, train)
         x = g(4 * c, 3)(x, train)
-        x = GatedDeConv(2 * c, projected=self.projected)(x, train)
+        x = GatedDeConv(2 * c, projected=self.projected, remat=self.remat)(x, train)
         x = g(2 * c, 3)(x, train)
-        x = GatedDeConv(c, projected=self.projected)(x, train)
+        x = GatedDeConv(c, projected=self.projected, remat=self.remat)(x, train)
         x = g(c // 2, 3)(x, train)
         x = g(3, 3, act="tanh" if self.projected else None)(x, train)
         return x
@@ -199,11 +219,13 @@ class _RefineTrunk(nn.Module):
 
     projected: bool = True
     cnum: int = 32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = lambda f, k, s=1, d=1, pr=4: GatedConv(
-            f, k, stride=s, dilation=d, projected=self.projected, proj_ratio=pr
+            f, k, stride=s, dilation=d, projected=self.projected,
+            proj_ratio=pr, remat=self.remat,
         )
         c = self.cnum
         x = g(c, 5, pr=1)(x, train)
@@ -225,18 +247,19 @@ class _RefineUpsample(nn.Module):
 
     projected: bool = True
     cnum: int = 32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = lambda f, k, act="leaky_relu": GatedConv(
-            f, k, projected=self.projected, activation=act
+            f, k, projected=self.projected, activation=act, remat=self.remat
         )
         c = self.cnum
         x = g(4 * c, 3)(x, train)
         x = g(4 * c, 3)(x, train)
-        x = GatedDeConv(2 * c, projected=self.projected)(x, train)
+        x = GatedDeConv(2 * c, projected=self.projected, remat=self.remat)(x, train)
         x = g(2 * c, 3)(x, train)
-        x = GatedDeConv(c, projected=self.projected)(x, train)
+        x = GatedDeConv(c, projected=self.projected, remat=self.remat)(x, train)
         x = g(c // 2, 3)(x, train)
         x = g(3, 3, act="tanh" if self.projected else None)(x, train)
         return x
@@ -247,19 +270,20 @@ class InpaintSANet(nn.Module):
     branch (reference :319-407). Returns (coarse, refined)."""
 
     projected: bool = True
+    remat: bool = False  # per-block rematerialization (see GatedConv.remat)
 
     @nn.compact
     def __call__(self, imgs, masks, train: bool = False):
         masked = imgs * (1.0 - masks)
-        coarse = _GeneratorTrunk(projected=self.projected)(
+        coarse = _GeneratorTrunk(projected=self.projected, remat=self.remat)(
             jnp.concatenate([masked, masks], axis=-1), train
         )
         refined_in = imgs * (1.0 - masks) + coarse * masks
-        x = _RefineTrunk(projected=self.projected)(
+        x = _RefineTrunk(projected=self.projected, remat=self.remat)(
             jnp.concatenate([refined_in, masks], axis=-1), train
         )
         x = SelfAttention()(x)
-        x = _RefineUpsample(projected=self.projected)(x, train)
+        x = _RefineUpsample(projected=self.projected, remat=self.remat)(x, train)
         return coarse, x
 
 
@@ -267,19 +291,21 @@ class InpaintSANetOrg(nn.Module):
     """Original DeepFillv2-style generator: plain gated convs, hole filled
     with 1s, outputs clamped to [-1, 1] (reference :430-514)."""
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, imgs, masks, train: bool = False):
         masked = imgs * (1.0 - masks) + masks
-        coarse = _GeneratorTrunk(projected=False)(
+        coarse = _GeneratorTrunk(projected=False, remat=self.remat)(
             jnp.concatenate([masked, masks], axis=-1), train
         )
         coarse = jnp.clip(coarse, -1.0, 1.0)
         refined_in = imgs * (1.0 - masks) + coarse * masks
-        x = _RefineTrunk(projected=False)(
+        x = _RefineTrunk(projected=False, remat=self.remat)(
             jnp.concatenate([refined_in, masks], axis=-1), train
         )
         x = SelfAttention()(x)
-        x = _RefineUpsample(projected=False)(x, train)
+        x = _RefineUpsample(projected=False, remat=self.remat)(x, train)
         return coarse, jnp.clip(x, -1.0, 1.0)
 
 

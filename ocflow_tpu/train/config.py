@@ -54,6 +54,10 @@ class Config:
     static_occ: bool = False
     adversarial_loss: bool = False
     org: bool = False
+    # rematerialize gated-conv generator blocks in the backward pass
+    # (jax.checkpoint) — required for full-res (448x1024) GAN inpainting
+    # training to fit the 16 GB chip (see models/gated_conv.py)
+    remat: bool = False
     with_gt_flow: bool = True
     using_pretrained_inpainting: bool = False
     unfreeze_epoch: int = 23  # FinetuningInpainting (test_unsupervised.py:25)

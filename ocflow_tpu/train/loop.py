@@ -78,6 +78,22 @@ class CsvLogger:
             with open(self._path, "a") as f:
                 if new:
                     f.write("phase,step,epoch," + ",".join(self._keys) + "\n")
+        elif not set(vals) <= set(self._keys):
+            # a phase introduced metrics the header doesn't carry (e.g. the
+            # GAN regime's eval keys differ from its train keys): extend the
+            # header in place so the new columns aren't silently dropped
+            self._keys = sorted(set(self._keys) | set(vals))
+            with open(self._path) as f:
+                lines = f.read().splitlines()
+            old_keys = lines[0].split(",")[3:]
+            with open(self._path, "w") as f:
+                f.write("phase,step,epoch," + ",".join(self._keys) + "\n")
+                for line in lines[1:]:
+                    parts = line.split(",")
+                    old = dict(zip(old_keys, parts[3:]))
+                    f.write(",".join(parts[:3]) + ","
+                            + ",".join(old.get(k, "") for k in self._keys)
+                            + "\n")
         with open(self._path, "a") as f:
             f.write(
                 f"{phase},{step},{epoch},"

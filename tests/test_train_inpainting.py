@@ -118,6 +118,34 @@ def test_gan_inpainting_step(rng):
     assert changed > len(g0) * 0.9, f"only {changed}/{len(g0)} leaves updated"
 
 
+def test_gated_generator_remat_exact(rng):
+    """InpaintSANet(remat=True) is bit-identical to remat=False in outputs
+    and grads (jax.checkpoint changes memory, not math) — the flag is what
+    lets full-res GAN training fit HBM (gated_conv.py GatedConv.remat)."""
+    batch = inpaint_batch(rng, h=32, w=32)
+    imgs, masks = batch["image"], batch["occ"]
+    ref = models.InpaintSANet()
+    rem = models.InpaintSANet(remat=True)
+    v = ref.init(jax.random.PRNGKey(0), imgs, masks)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), v["params"],
+        rem.init(jax.random.PRNGKey(0), imgs, masks)["params"]))
+
+    def loss(m, p):
+        c, r = m.apply({**v, "params": p}, imgs, masks, train=False)
+        return jnp.mean(jnp.abs(r - imgs)) + jnp.mean(jnp.abs(c - imgs))
+
+    la, ga = jax.value_and_grad(lambda p: loss(ref, p))(v["params"])
+    lb, gb = jax.value_and_grad(lambda p: loss(rem, p))(v["params"])
+    assert float(la) == float(lb)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ga, gb)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    gnorm = sum(float(jnp.sum(x ** 2))
+                for x in jax.tree_util.tree_leaves(ga)) ** 0.5
+    assert gnorm > 0.0
+
+
 @pytest.mark.slow
 def test_two_stage_step(rng):
     flow_net = models.SimpleFlowNet()

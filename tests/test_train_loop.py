@@ -77,3 +77,21 @@ def test_fit_writes_csv_and_checkpoints(tmp_path):
     # checkpointing happened (Orbax directory per epoch)
     assert os.path.isdir(cfg.checkpoint_dir) and os.listdir(cfg.checkpoint_dir)
     assert int(state.step) == 4
+
+
+def test_csv_logger_extends_header_for_new_keys(tmp_path):
+    """A phase that introduces metrics after the header is written (the GAN
+    regime's eval keys differ from its train keys) extends the header in
+    place instead of silently dropping columns."""
+    path = str(tmp_path / "m.csv")
+    log = loop.CsvLogger(path)
+    log.row("train", 0, 0, {"d_loss": 1.0, "g_loss": 2.0})
+    log.row("val", 1, 0, {"loss": 3.0, "rhole": 4.0})
+    log.row("train", 2, 1, {"d_loss": 5.0, "g_loss": 6.0})
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert set(rows[0]) == {"phase", "step", "epoch", "d_loss", "g_loss",
+                            "loss", "rhole"}
+    assert rows[0]["d_loss"] == "1.0" and rows[0]["loss"] == ""
+    assert rows[1]["loss"] == "3.0" and rows[1]["rhole"] == "4.0"
+    assert rows[2]["g_loss"] == "6.0"

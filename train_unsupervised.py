@@ -67,7 +67,11 @@ def main():
         train_step, eval_step = steps.make_unsupervised_flow_step(hparams)
 
     elif network_type == "inpainting":
-        gen = models.build("inpainting", "gated_org" if cfg.org else cfg.model)
+        gen_key = "gated_org" if cfg.org else cfg.model
+        gen_kwargs = (
+            {"remat": True} if cfg.remat and "gated" in gen_key else {}
+        )
+        gen = models.build("inpainting", gen_key, **gen_kwargs)
         state = create_train_state(
             gen, rng, sample["image"][:1], optax.adam(cfg.learning_rate),
             masks=sample["occ"][:1],
