@@ -45,21 +45,66 @@ def flow_to_warp(flow: jax.Array) -> jax.Array:
     return grid[None] + flow
 
 
+# Channel threshold between the two gather formulations below. Measured
+# crossover on v5e (PERF.md "warp gather"): at C=3 (photometric/data warps)
+# the packed gather is 2.6x faster (74.7 -> 28.6 ms at 448x1024 B=8 bf16);
+# at C>=32 (coherent-start PWC feature warps, ~11 ns/desc already) the
+# packed variant's 4x feature copy costs more than it saves (bench 312.7 ->
+# 304.4 pairs/s with packed-everywhere). 8 covers images (3), flows (2),
+# masks (1) without touching any feature warp.
+_PACK_C_MAX = 8
+
+
 def _gather_2x2(img: jax.Array, x0: jax.Array, y0: jax.Array) -> jax.Array:
-    """ONE lax.gather of a [2, 2, C] slice per pixel (starts pre-clipped)."""
-    c = img.shape[-1]
+    """The four bilinear taps of each pixel, as [N, 2, 2, C].
+
+    Two formulations, chosen by channel count (identical elements either
+    way — starts are pre-clipped to (h-2, w-2) by the caller, so CLIP mode
+    never engages and out-of-bounds semantics still come from the hat
+    weights):
+
+    - C <= _PACK_C_MAX — ONE fully-contiguous gather per pixel: the taps
+      are pre-packed channel-wise, ``S[y, x] = concat(img[y, x],
+      img[y, x+1], img[y+1, x], img[y+1, x+1])`` (a pad + 4-slice concat,
+      one fused XLA layout pass), so each descriptor reads a single
+      contiguous [1, 1, 4C] run. TPU gather cost is per-descriptor and
+      sensitive to minor-dim contiguity: 2.6x faster at the full-res
+      photometric shape (PERF.md "warp gather").
+    - larger C — one strided [2, 2, C] window per pixel: with C >= 32 the
+      minor-dim runs are already long, and skipping the 4x packed copy of
+      the feature map wins.
+    """
+    h, w, c = img.shape
     starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=-1)  # [N, 2]
-    return jax.lax.gather(
-        img,
+    if c > _PACK_C_MAX:
+        return jax.lax.gather(
+            img,
+            starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # [N, 2, 2, C]
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
+    s = jnp.concatenate(
+        [p[:h, :w], p[:h, 1 : w + 1], p[1 : h + 1, :w], p[1 : h + 1, 1 : w + 1]],
+        axis=-1,
+    )  # [H, W, 4C]
+    g = jax.lax.gather(
+        s,
         starts,
         jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(),
+            offset_dims=(1,),
+            collapsed_slice_dims=(0, 1),
             start_index_map=(0, 1),
         ),
-        slice_sizes=(2, 2, c),
+        slice_sizes=(1, 1, 4 * c),
         mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [N, 2, 2, C]
+    )  # [N, 4C]
+    return g.reshape(-1, 2, 2, c)
 
 
 def _hat_weights(x, x0, y, y0):
@@ -83,9 +128,9 @@ def _sample_bilinear_zero_pad(img: jax.Array, x: jax.Array, y: jax.Array, _meta=
     """Bilinear sample one image at float pixel coords with zero padding.
 
     Matches ``grid_sample(mode='bilinear', padding_mode='zeros')``. TPU-tuned
-    formulation: ONE ``lax.gather`` of a [2, 2, C] slice per pixel (4x fewer
-    gather descriptors than four per-tap row gathers — 2.5x faster on v5e),
-    with hat-function weights supplying the per-tap zero padding.
+    formulation: ONE ``lax.gather`` descriptor per pixel (see
+    ``_gather_2x2`` for the channel-dependent slice shape), with
+    hat-function weights supplying the per-tap zero padding.
 
     Custom VJP: XLA's adjoint of the windowed gather is a windowed
     scatter-add that runs ~400x slower than the forward on v5e (1.8 s for one
