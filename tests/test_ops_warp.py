@@ -27,8 +27,11 @@ def torch_warp(img_nchw, flow_nchw, align_corners):
 
 
 @pytest.mark.parametrize("align_corners", [True, False])
-def test_warp_matches_grid_sample(rng, align_corners):
-    B, H, W, C = 2, 13, 17, 3
+# C=3 exercises the 4C-packed gather, C=16 the windowed [2,2,C] gather
+# (ops/warp.py:_gather_2x2 switches at _PACK_C_MAX=8)
+@pytest.mark.parametrize("C", [3, 16])
+def test_warp_matches_grid_sample(rng, align_corners, C):
+    B, H, W = 2, 13, 17
     img = rng.standard_normal((B, H, W, C)).astype(np.float32)
     flow = (rng.standard_normal((B, H, W, 2)) * 3.0).astype(np.float32)
 
@@ -83,6 +86,21 @@ def test_warp_gradients_flow():
 
     g = jax.grad(loss)(flow)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_warp_gather_formulations_equal(rng):
+    """The packed [1,1,4C] and windowed [2,2,C] gathers pick identical
+    elements: warping a C=12 map must equal four C=3 warps of its
+    channel slices (different _gather_2x2 branches, same math)."""
+    img = jnp.asarray(rng.standard_normal((2, 12, 16, 12)).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((2, 12, 16, 2)) * 2).astype(np.float32))
+    whole = warp(img, flow)
+    parts = jnp.concatenate(
+        [warp(img[..., i : i + 3], flow) for i in range(0, 12, 3)], axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(whole), np.asarray(parts), atol=1e-6, rtol=0
+    )
 
 
 def test_warp_grad_img_false_same_dflow(rng):
