@@ -104,7 +104,7 @@ def _enc_tile(h: int, w_lanes: int, k_max: int) -> int:
     return pick_tile(h)
 
 
-def _encoder_fused(params, x, th=None, interpret=False, diff=False):
+def _encoder_fused(params, x, th=None, interpret=False):
     """SiameseEncoder with each level's stride-1 conv pair fused into one
     big-tile im2col conv-group kernel (lane-packed at the narrow coarse
     levels). The stride-2 convs stay on XLA: every alternative measured
@@ -129,20 +129,15 @@ def _encoder_fused(params, x, th=None, interpret=False, diff=False):
                      ConvSpec(reads=(1,), cout=c, im2col=True, emit=True))
             k_max = 9 * _ceil16(c)
             tt = th if (th and h % th == 0) else _enc_tile(h, w * pack, k_max)
-            if diff:
-                x = conv_group_diff(
-                    [x], ws, bs, specs, h, w * pack, tt,
-                    w if pack > 1 else None, interpret)[1]
-            else:
-                xp = nhwc_to_flat(x)
-                if pack > 1:
-                    xp = pack_lanes(xp, h, w, pack)
-                (out,) = conv_group(
-                    [xp], ws, bs, list(specs), h, w * pack,
-                    th=tt, w_img=w, interpret=interpret)
-                if pack > 1:
-                    out = unpack_lanes(out, h, w, pack)
-                x = flat_to_nhwc(out, h, w, c)
+            xp = nhwc_to_flat(x)
+            if pack > 1:
+                xp = pack_lanes(xp, h, w, pack)
+            (out,) = conv_group(
+                [xp], ws, bs, list(specs), h, w * pack,
+                th=tt, w_img=w, interpret=interpret)
+            if pack > 1:
+                out = unpack_lanes(out, h, w, pack)
+            x = flat_to_nhwc(out, h, w, c)
         else:
             x = _conv(x, cb1["kernel"], cb1["bias"])
             x = _conv(x, cb2["kernel"], cb2["bias"])
@@ -419,9 +414,16 @@ def fast_apply(
     im1, im2 = x[..., :3], x[..., 3:]
     b = x.shape[0]
 
-    enc = _encoder_fused if fuse_encoder else _encoder
-    kw = {"th": th, "interpret": interpret, "diff": diff} if fuse_encoder else {}
-    both = enc(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0), **kw)
+    # Gradient-carrying runs (diff=True) use the plain XLA encoder +
+    # autodiff: measured 22.6 ms vs 26.7 for the fused kernel + manual
+    # adjoint at cat-batch 16 (PERF.md "Adjoint comparisons") — the fused
+    # kernels only win at decode.
+    if fuse_encoder and not diff:
+        both = _encoder_fused(
+            p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0),
+            th=th, interpret=interpret)
+    else:
+        both = _encoder(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0))
     f1 = [f[:b] for f in both]
     f2 = [f[b:] for f in both]
     return _fast_decode(
@@ -460,9 +462,16 @@ def fast_apply_pair(
     im1, im2 = x[..., :3], x[..., 3:]
     b = x.shape[0]
 
-    both = _encoder_fused(
-        p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0),
-        th=th, interpret=interpret, diff=diff)
+    # Gradient-carrying encoder: plain XLA convs + autodiff (measured 22.6
+    # ms vs 26.7 for the fused kernel + manual adjoint at cat-batch 16,
+    # PERF.md "Adjoint comparisons") — the fused path only wins at decode.
+    if diff:
+        both = _encoder(
+            p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0))
+    else:
+        both = _encoder_fused(
+            p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0),
+            th=th, interpret=interpret)
     f1 = [f[:b] for f in both]
     f2 = [f[b:] for f in both]
     fwd = _fast_decode(
