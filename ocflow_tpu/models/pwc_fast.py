@@ -94,51 +94,60 @@ def _encoder(params, x):
     return feats
 
 
-def _enc_tile(h: int, w_lanes: int, k_max: int) -> int:
+def _enc_tile(h: int, w_lanes: int, k_s2: int, k_pair: int) -> int:
     """Largest tile whose im2col rhs stays under ~40 MB (VMEM is 128 MB;
-    big tiles measured 3-5x faster for the small-C encoder pairs)."""
+    big tiles measured 3-5x faster for the small-C encoder pairs). The
+    stride-2 conv's rhs spans 2*(th + 2*halo) rows."""
     budget = 40 * 1024 * 1024
     for th in (h, 112, 56, 28, 16, 14, 8, 7, 4):
-        if th <= h and h % th == 0 and k_max * (th + 6) * w_lanes * 2 <= budget:
-            return th
+        if th <= h and h % th == 0:
+            rhs = max(k_s2 * 2 * (th + 5), k_pair * (th + 4)) * w_lanes * 2
+            if rhs <= budget:
+                return th
     return pick_tile(h)
 
 
 def _encoder_fused(params, x, th=None, interpret=False):
-    """SiameseEncoder with each level's stride-1 conv pair fused into one
-    big-tile im2col conv-group kernel (lane-packed at the narrow coarse
-    levels). The stride-2 convs stay on XLA: every alternative measured
-    (space-to-depth lifts in NHWC and flat layouts, stride-1+subsample,
-    in-kernel deinterleaving, and the round-3 parity-phase stride-2 kernel
-    — kernel-only fast at 1.9 ms/level but the XLA-side phase splits cost
-    7 ms up front + 2.1 ms/level, 33 vs 9 ms end-to-end) came out equal or
-    worse — XLA's small-C stride-2 convs are the encoder's stubborn ~5 ms
-    floor (PERF.md)."""
+    """SiameseEncoder with each LEVEL (stride-2 conv + conv pair) fused into
+    one conv-group kernel call (lane-packed at the narrow coarse levels).
+
+    The stride-2 conv runs in-kernel via the stride-2 im2col mode: W-stride
+    2 vanishes into the W-pair channel packing (folded into the one
+    nhwc_to_flat transpose the level pays anyway) and H-stride 2 into the
+    kernel's even-row write-back. This replaced the XLA stride-2 convs that
+    were the encoder's ~5 ms "floor" — the earlier phase-split and
+    space-to-depth formulations lost to XLA-side layout copies (PERF.md
+    dead ends); this one adds NO layout work."""
     feats = []
     for lvl in range(6):
         cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
         cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
         cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
-        x = _conv(x, cb0["kernel"], cb0["bias"], stride=2)
-        b, h, w, c = x.shape
+        b, h_in, w_in, c_in = x.shape
+        h, w = h_in // 2, w_in // 2
+        c = cb0["kernel"].shape[3]
         pack = _decoder_pack(b, w)
         if pack is not None:
-            ws = [[cb1["kernel"]], [cb2["kernel"]]]
-            bs = [cb1["bias"], cb2["bias"]]
-            specs = (ConvSpec(reads=(0,), cout=c, im2col=True),
-                     ConvSpec(reads=(1,), cout=c, im2col=True, emit=True))
-            k_max = 9 * _ceil16(c)
-            tt = th if (th and h % th == 0) else _enc_tile(h, w * pack, k_max)
-            xp = nhwc_to_flat(x)
+            ws = [[cb0["kernel"]], [cb1["kernel"]], [cb2["kernel"]]]
+            bs = [cb0["bias"], cb1["bias"], cb2["bias"]]
+            specs = [
+                ConvSpec(reads=(0,), cout=c, im2col=True, stride=2),
+                ConvSpec(reads=(1,), cout=c, im2col=True),
+                ConvSpec(reads=(2,), cout=c, im2col=True, emit=True),
+            ]
+            tt = th if (th and h % th == 0) else _enc_tile(
+                h, w * pack, 6 * _ceil16(2 * c_in), 9 * _ceil16(c))
+            xp = nhwc_to_flat(x.reshape(b, h_in, w, 2 * c_in))
             if pack > 1:
-                xp = pack_lanes(xp, h, w, pack)
+                xp = pack_lanes(xp, h_in, w, pack)
             (out,) = conv_group(
-                [xp], ws, bs, list(specs), h, w * pack,
-                th=tt, w_img=w, interpret=interpret)
+                [xp], ws, bs, specs, h, w * pack,
+                th=tt, w_img=w, in_strides=(2,), interpret=interpret)
             if pack > 1:
                 out = unpack_lanes(out, h, w, pack)
             x = flat_to_nhwc(out, h, w, c)
         else:
+            x = _conv(x, cb0["kernel"], cb0["bias"], stride=2)
             x = _conv(x, cb1["kernel"], cb1["bias"])
             x = _conv(x, cb2["kernel"], cb2["bias"])
         feats.append(x)

@@ -72,6 +72,15 @@ class ConvSpec:
     # when Cin is small (16-64): the per-dy K=Cin GEMMs starve the MXU's
     # contraction dim, im2col restores K >= 128.
     im2col: bool = False
+    # stride-2 mode (im2col only, reading a stride-2 kernel INPUT): the
+    # input arrives W-pair channel-packed (2*Cin channels at W/2 cols, see
+    # pwc_fast._pack_w_kernel for the tap algebra) so W-stride-2 vanishes
+    # into the contraction; H-stride-2 is handled by computing the stride-1
+    # conv over a 2x-row window and writing back only the even rows (one
+    # aligned lane slice per output row). Row strides stay Mosaic-aligned
+    # throughout — no per-lane gathers, no phase splits (the measured dead
+    # end of the parity-phase formulation, PERF.md).
+    stride: int = 1
 
 
 def _pack_weights(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
@@ -98,12 +107,29 @@ def _pack_weights_im2col(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Ar
     return w.reshape(cout_pad, 9 * k_pad)
 
 
+def _pack_weights_im2col_s2(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
+    """[3,3,Cin,Cout] -> [cout_pad, 6*k_pad] for the stride-2 im2col GEMM on
+    W-pair packed input (packed col p = orig cols (2p, 2p+1) as (lo, hi)
+    channel halves). Output col j of the stride-2 conv taps orig cols
+    {2j-1, 2j, 2j+1} = packed col j-1's hi half and packed col j's lo+hi —
+    two packed taps (dxp in {-1, 0}) per dy. Column block
+    ``(dy*2 + dxp+1)*k_pad : +k_pad`` holds that tap's weights."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3 and 2 * cin <= k_pad
+    z = jnp.zeros((3, 2, k_pad, cout), w_hwio.dtype)
+    z = z.at[:, 0, cin:2 * cin].set(w_hwio[:, 0])  # dxp=-1: hi = orig 2j-1
+    z = z.at[:, 1, :cin].set(w_hwio[:, 1])         # dxp=0:  lo = orig 2j
+    z = z.at[:, 1, cin:2 * cin].set(w_hwio[:, 2])  #         hi = orig 2j+1
+    z = jnp.transpose(z, (3, 0, 1, 2)).reshape(cout, 6 * k_pad)
+    return jnp.pad(z, ((0, cout_pad - cout), (0, 0)))
+
+
 def _is_contig(reads: tuple[int, ...]) -> bool:
     return all(b == reads[0] + i for i, b in enumerate(reads))
 
 
 def _kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
-                 valid, offs, out_ids, interpret):
+                 valid, offs, out_ids, strided, interpret):
     """Shared-stripe kernel: ALL blocks live in ONE VMEM scratch ``S`` of
     shape [C_total, R*W], block ``bid`` at channel rows
     ``offs[bid]:offs[bid+1]``, spatial data at its WINDOW-row position.
@@ -128,24 +154,54 @@ def _kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
     has_im2col = any(s.im2col for s in specs)
     if has_im2col:
         rhs_ref = refs[pos]; pos += 1
+    sin_refs = {}
+    for i in strided:
+        sin_refs[i] = refs[pos]; pos += 1
     sems = refs[pos]
 
     t = pl.program_id(1)
     b = pl.program_id(0)
     R = th + 2 * halo
 
-    # DMA the input windows into their stripes
+    # DMA the input windows into their stripes (stride-2 inputs get a 2x-row
+    # window in their own scratch — their S stripe slot stays unused)
     copies = []
     for i, src in enumerate(in_refs):
-        c = pltpu.make_async_copy(
-            src.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
-            S.at[pl.ds(offs[i], offs[i + 1] - offs[i]), :],
-            sems.at[i],
-        )
+        if i in sin_refs:
+            c = pltpu.make_async_copy(
+                src.at[b, :, pl.ds(t * th * 2 * w_lanes, (2 * R + 2) * w_lanes)],
+                sin_refs[i].at[:, :],
+                sems.at[i],
+            )
+        else:
+            c = pltpu.make_async_copy(
+                src.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
+                S.at[pl.ds(offs[i], offs[i + 1] - offs[i]), :],
+                sems.at[i],
+            )
         c.start()
         copies.append(c)
     for c in copies:
         c.wait()
+
+    def _zero_halo(oj, cout_pad, v):
+        # Zero-padding semantics of the chain: each conv's input is the
+        # previous output zero-padded at the IMAGE boundary, but halo rows
+        # outside the image hold conv-of-padding (bias-contaminated) values.
+        # Zero them on the first/last tile so downstream convs read zeros.
+        if halo <= v:
+            return
+        nz = (halo - v) * w_lanes
+
+        @pl.when(t == 0)
+        def _():
+            S[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, nz)] = jnp.zeros(
+                (cout_pad, nz), S.dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            S[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
+                jnp.zeros((cout_pad, nz), S.dtype))
 
     w_idx = 0
     for j, spec in enumerate(specs):
@@ -157,6 +213,51 @@ def _kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
         contig = spec.im2col or _is_contig(spec.reads)
         my_w = w_refs[w_idx:w_idx + (1 if contig else len(spec.reads))]
         w_idx += 1 if contig else len(spec.reads)
+        if spec.stride == 2:
+            # stride-2 im2col on a W-pair packed input: 6 taps (3 dy x 2
+            # packed dx), rhs built from the 2x-row window, ONE stride-1
+            # GEMM over ALL rows, even rows written back (H-subsample as
+            # R aligned lane slices). The 2x GEMM M is cheap next to any
+            # per-lane-gather/phase-split alternative (PERF.md dead ends).
+            bid = spec.reads[0]
+            cb = offs[bid + 1] - offs[bid]
+            sin = sin_refs[bid]
+            m2 = 2 * R * w_lanes
+            colc = jax.lax.broadcasted_iota(jnp.int32, (cb, m2), 1) % w_img
+            rdt = rhs_ref.dtype
+            for dyi in range(3):
+                rows = sin[pl.ds(0, cb), pl.ds(dyi * w_lanes, m2)]
+                for dxpi in range(2):
+                    if dxpi == 1:
+                        sh = rows
+                    else:
+                        # packed tap j-1: roll right one col, zero each
+                        # image's col 0 (left zero-pad semantics)
+                        sh = jnp.where(
+                            colc >= 1,
+                            pltpu.roll(rows.astype(jnp.float32), shift=1,
+                                       axis=1),
+                            0.0,
+                        ).astype(rdt)
+                    rhs_ref[pl.ds((dyi * 2 + dxpi) * cb, cb), pl.ds(0, m2)] = sh
+            acc = jax.lax.dot_general(
+                my_w[0][:, :], rhs_ref[pl.ds(0, 6 * cb), pl.ds(0, m2)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc += b_refs[j][:, :1]
+            if spec.act:
+                acc = jnp.where(acc >= 0, acc, acc * 0.1)
+            oj = offs[n_inputs + j]
+            # stride-1 column block q is centered at sin row q+1; window
+            # output row r (v=0, abs row t*th - halo + r) is input row
+            # 2*(t*th - halo + r) = sin row 2r+1 -> q = 2r (even rows).
+            accs = acc.astype(S.dtype)
+            for r in range(R):
+                S[pl.ds(oj, cout_pad), pl.ds(r * w_lanes, w_lanes)] = (
+                    accs[:, 2 * r * w_lanes:(2 * r + 1) * w_lanes])
+            _zero_halo(oj, cout_pad, 0)
+            continue
         if spec.im2col:
             # one GEMM with K = 9*Cin: rhs built from 9 shifted masked
             # copies of the (single) input block
@@ -230,23 +331,7 @@ def _kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
             acc = jnp.where(acc >= 0, acc, acc * 0.1)
         oj = offs[n_inputs + j]
         S[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, m)] = acc.astype(S.dtype)
-
-        # Zero-padding semantics of the chain: each conv's input is the
-        # previous output zero-padded at the IMAGE boundary, but halo rows
-        # outside the image hold conv-of-padding (bias-contaminated) values.
-        # Zero them on the first/last tile so downstream convs read zeros.
-        if halo > v:
-            nz = (halo - v) * w_lanes
-
-            @pl.when(t == 0)
-            def _():
-                S[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, nz)] = jnp.zeros(
-                    (cout_pad, nz), S.dtype)
-
-            @pl.when(t == pl.num_programs(1) - 1)
-            def _():
-                S[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
-                    jnp.zeros((cout_pad, nz), S.dtype))
+        _zero_halo(oj, cout_pad, v)
 
     for o, cid in enumerate(out_ids):
         ch = offs[cid + 1] - offs[cid]
@@ -264,13 +349,18 @@ def conv_group(
     th: int = 8,
     w_img: int | None = None,
     interpret: bool = False,
+    in_strides: Sequence[int] | None = None,
 ) -> list[jax.Array]:
     """Run a fused conv chain.
 
     inputs: list of [B, C_i, H*W] arrays (flat spatial lanes, C 16-aligned
-            with zero padding).
+            with zero padding). A stride-2 input (``in_strides[i] == 2``) is
+            instead [B, C_i, (2H)*W]: the W-pair channel-packed form of a
+            2H x 2W image (C_i = 16-aligned 2*C_orig), consumed only by
+            ``stride=2`` specs.
     weights: weights[j][r] = [3,3,Cin_r,Cout_j] HWIO for conv j reading
-            specs[j].reads[r].
+            specs[j].reads[r]. For stride-2 specs, Cin_r is the ORIGINAL
+            (unpacked) channel count; tap packing happens here.
     biases: biases[j] = [Cout_j].
     w_img: image width when several images are packed side by side on the
             lane dim (``w`` = pack * w_img); dx taps are masked at image
@@ -284,14 +374,27 @@ def conv_group(
     n_inputs = len(inputs)
     if w_img is None:
         w_img = w
+    if in_strides is None:
+        in_strides = (1,) * n_inputs
+    in_strides = tuple(in_strides)
     assert w % 128 == 0 and h % th == 0 and w % w_img == 0
     bsz = inputs[0].shape[0]
     dtype = inputs[0].dtype
 
-    # validity: first valid row of each block within a window
+    # validity: first valid row of each block within a window. A stride-2
+    # conv's input window is sized to cover ALL R output rows, so its
+    # output block is valid from row 0.
     valid: list[int] = [0] * n_inputs
     for s in specs:
-        valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
+        if s.stride == 2:
+            assert s.im2col and len(s.reads) == 1, "stride-2 implies im2col"
+            assert s.reads[0] < n_inputs and in_strides[s.reads[0]] == 2
+            valid.append(0)
+        else:
+            assert all(
+                bid >= n_inputs or in_strides[bid] == 1 for bid in s.reads
+            ), "stride-2 inputs are only readable by stride-2 convs"
+            valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
     out_ids = [n_inputs + j for j, s in enumerate(specs) if s.emit]
     halo = max(valid[cid] for cid in out_ids)
     # The first/last-tile zeroing of conv-of-padding halo rows assumes an
@@ -299,18 +402,29 @@ def conv_group(
     assert halo <= th or h <= th, (
         f"halo {halo} > tile {th}: grow th or split the chain")
     R = th + 2 * halo
+    strided = tuple(i for i in range(n_inputs) if in_strides[i] == 2)
 
     in_ch = [int(x.shape[1]) for x in inputs]
     for c in in_ch:
         assert c % 16 == 0, "pad input channels to a multiple of 16"
 
-    # pre-pad rows by halo (zero rows) in HBM
-    padded = [
-        jnp.pad(x.reshape(bsz, x.shape[1], h, w),
-                ((0, 0), (0, 0), (halo, halo), (0, 0))).reshape(
-                    bsz, x.shape[1], (h + 2 * halo) * w)
-        for x in inputs
-    ]
+    # pre-pad rows in HBM: halo zero rows for stride-1 inputs; a stride-2
+    # input needs 2*halo+1 rows each side (output row t*th-halo needs input
+    # row 2*(t*th-halo)-1; window start then lands at row 2*t*th exactly)
+    padded = []
+    for i, x in enumerate(inputs):
+        if in_strides[i] == 2:
+            hi, p_in = 2 * h, 2 * halo + 1
+            assert x.shape[2] == hi * w, (x.shape, hi, w)
+            padded.append(
+                jnp.pad(x.reshape(bsz, x.shape[1], hi, w),
+                        ((0, 0), (0, 0), (p_in, p_in), (0, 0))).reshape(
+                            bsz, x.shape[1], (hi + 2 * p_in) * w))
+        else:
+            padded.append(
+                jnp.pad(x.reshape(bsz, x.shape[1], h, w),
+                        ((0, 0), (0, 0), (halo, halo), (0, 0))).reshape(
+                            bsz, x.shape[1], (h + 2 * halo) * w))
 
     block_ch = list(in_ch) + [_ceil_to(s.cout, 16) for s in specs]
     offs = [0]
@@ -319,6 +433,10 @@ def conv_group(
     packed_w = []
     for j, s in enumerate(specs):
         cp = block_ch[n_inputs + j]
+        if s.stride == 2:
+            packed_w.append(_pack_weights_im2col_s2(
+                weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
+            continue
         if s.im2col:
             assert len(s.reads) == 1, "im2col supports single-read convs"
             packed_w.append(_pack_weights_im2col(
@@ -342,7 +460,8 @@ def conv_group(
     kern = functools.partial(
         _kernel_body, specs=specs, n_inputs=n_inputs, th=th,
         halo=halo, w_lanes=w, w_img=w_img, valid=tuple(valid),
-        offs=tuple(offs), out_ids=tuple(out_ids), interpret=interpret,
+        offs=tuple(offs), out_ids=tuple(out_ids), strided=strided,
+        interpret=interpret,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -364,14 +483,23 @@ def conv_group(
     scratch = [vmem((offs[-1], R * w), dtype)]  # shared block stripes
     im2col_specs = [(j, s) for j, s in enumerate(specs) if s.im2col]
     if im2col_specs:
-        k_max = max(9 * block_ch[s.reads[0]] for _, s in im2col_specs)
+        k_max = max(
+            (6 if s.stride == 2 else 9) * block_ch[s.reads[0]]
+            for _, s in im2col_specs)
         m_max = max(
-            (R - 2 * valid[n_inputs + j]) * w for j, _ in im2col_specs)
+            (2 * R if s.stride == 2 else R - 2 * valid[n_inputs + j]) * w
+            for j, s in im2col_specs)
         scratch.append(vmem((k_max, m_max), dtype))
+    for i in strided:
+        scratch.append(vmem((block_ch[i], (2 * R + 2) * w), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((max(n_inputs, 1),)))
 
     flops = 0
     for j, s in enumerate(specs):
+        if s.stride == 2:
+            flops += 2 * 6 * block_ch[n_inputs + j] * block_ch[s.reads[0]] * (
+                2 * R * w)
+            continue
         mj = (R - 2 * valid[n_inputs + j]) * w
         k = sum(block_ch[bid] for bid in s.reads)
         flops += 2 * 9 * block_ch[n_inputs + j] * k * mj

@@ -152,6 +152,81 @@ def test_conv_group_im2col_mode():
     np.testing.assert_allclose(np.asarray(got), np.asarray(refp), atol=1e-4)
 
 
+def _conv_s2_ref(x, w, b, act=True):
+    y = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b
+    return jnp.where(y >= 0, y, 0.1 * y) if act else y
+
+
+def test_conv_group_stride2_mode():
+    """Stride-2 im2col mode (W-pair packed input, even-row write-back) ==
+    XLA stride-2 conv, standalone and chained into stride-1 convs, incl.
+    multi-tile grids and packed lanes."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import pack_lanes, unpack_lanes
+
+    rng = np.random.default_rng(7)
+    B, H2, W2, c0 = 2, 32, 256, 3  # image is H2 x W2; outputs H2/2 x W2/2
+    H, W = H2 // 2, W2 // 2
+    x = jnp.asarray(rng.normal(size=(B, H2, W2, c0)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(3, 3, c0, 16)) * 0.1, jnp.float32)
+    b0 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+
+    y0 = _conv_s2_ref(x, w0, b0)
+    ref = _conv_ref(_conv_ref(y0, w1, b1), w2, b2)
+
+    xf = nhwc_to_flat(x.reshape(B, H2, W, 2 * c0))  # free W-pair packing
+    outs = conv_group(
+        [xf], [[w0], [w1], [w2]], [b0, b1, b2],
+        [ConvSpec(reads=(0,), cout=16, im2col=True, stride=2, emit=True),
+         ConvSpec(reads=(1,), cout=16, im2col=True),
+         ConvSpec(reads=(2,), cout=16, im2col=True, emit=True)],
+        H, W, th=4, in_strides=(2,), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(flat_to_nhwc(outs[0], H, W, 16)), np.asarray(y0),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(flat_to_nhwc(outs[1], H, W, 16)), np.asarray(ref),
+        atol=1e-4)
+
+    # packed lanes: two 64-wide (packed) images per lane row
+    B4 = 4
+    x4 = jnp.asarray(rng.normal(size=(B4, 16, 128, 4)), jnp.float32)
+    w4 = jnp.asarray(rng.normal(size=(3, 3, 4, 16)) * 0.1, jnp.float32)
+    yp = _conv_s2_ref(x4, w4, b0)
+    xp = pack_lanes(nhwc_to_flat(x4.reshape(B4, 16, 64, 8)), 16, 64, 2)
+    (op,) = conv_group(
+        [xp], [[w4]], [b0],
+        [ConvSpec(reads=(0,), cout=16, im2col=True, stride=2, emit=True)],
+        8, 128, th=4, w_img=64, in_strides=(2,), interpret=True)
+    got = flat_to_nhwc(unpack_lanes(op, 8, 64, 2), 8, 64, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(yp), atol=1e-4)
+
+
+def test_encoder_fused_matches_xla():
+    """_encoder_fused (one stride-2+pair kernel per level) == plain XLA
+    encoder at every pyramid level."""
+    from ocflow_tpu.models.pwc_fast import _encoder, _encoder_fused
+
+    rng = np.random.default_rng(8)
+    B, H, W = 2, 64, 512
+    net = FlowNetCV()
+    x6 = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x6)
+    p = variables["params"]["SiameseEncoder_0"]
+    x = jnp.concatenate([x6[..., :3], x6[..., 3:]], axis=0)
+    ref = _encoder(p, x)
+    got = _encoder_fused(p, x, interpret=True)
+    assert len(ref) == len(got) == 6
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4)
+
+
 def test_conv_group_diff_grads_match_autodiff():
     """conv_group_diff (Pallas fwd + manual XLA bwd from saved activations)
     == jax.grad of an equivalent XLA conv chain: dinputs, dweights, dbiases."""
