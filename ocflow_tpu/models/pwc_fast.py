@@ -182,6 +182,43 @@ def _split_newest_first(kernel, block_ch):
     return [w for _, w in sorted(splits, key=lambda t: t[0])]
 
 
+def _upfeat_phase_weights(deconv_params, block_ch):
+    """The up-feat ConvTranspose ([4,4,Cin,2], stride 2, SAME) as ONE plain
+    3x3 conv with 8 phase-structured output channels, runnable inside the
+    conv-group kernel (reads the VMEM block stripes like the flow head).
+
+    Identity (delta-probe of ``lax.conv_transpose``):
+        y[2h+dr, 2w+dc] += x[h, w] * k[2-dr, 2-dc]   for dr, dc in {-1..2}
+    so output phase (a, b) at coarse (h', w') sums exactly two taps per
+    axis — offsets {-1, 0} for phase 0 (k rows 0/2) and {0, +1} for phase 1
+    (k rows 1/3) — i.e. a 3x3 conv whose weight
+        k3[di, dj, :, (a,b,c)] = k[R(a,di), R(b,dj), :, c]
+    is zero outside those taps. The fused decoder then emits [.., 8] at
+    coarse res; ``_unpack_phases`` interleaves it to [.., 2H, 2W, 2] with a
+    cheap reshape/transpose. This replaces the XLA ``_deconv_split`` whose
+    cout=2 GEMMs fill 2/128 MXU rows (measured 1.14 ms at the 56x128 level
+    vs ~0.1 in-kernel) and lets the decoder skip emitting its block
+    activations to HBM altogether.
+    """
+    k = deconv_params["ConvTranspose_0"]["kernel"]
+    bias = deconv_params["ConvTranspose_0"]["bias"]
+    cin = k.shape[2]
+    k3 = jnp.zeros((3, 3, cin, 2, 2, 2), k.dtype)
+    taps = ((0, 0, 0), (0, 1, 2), (1, 1, 1), (1, 2, 3))  # (phase, dy+1, k row)
+    for a, di, kr in taps:
+        for b_, dj, kc in taps:
+            k3 = k3.at[di, dj, :, a, b_, :].set(k[kr, kc])
+    k3 = k3.reshape(3, 3, cin, 8)
+    return _split_newest_first(k3, block_ch), jnp.tile(bias, 4)
+
+
+def _unpack_phases(y8):
+    """[B, H, W, 8] phase-packed (a, b, c) -> [B, 2H, 2W, 2]."""
+    b, h, w, _ = y8.shape
+    y = y8.reshape(b, h, w, 2, 2, 2)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w, 2)
+
+
 def _tile_for(h: int, th) -> int:
     """Honor an explicit tile override only when it divides this level's H."""
     return th if th and h % th == 0 else pick_tile(h)
@@ -206,23 +243,39 @@ def _decoder_pack(b: int, w: int) -> int | None:
     return None
 
 
-def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False):
+def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
+                         upfeat=None):
     """DenseDecoder as one fused kernel, emitting (flow, feat) like the flax
     module. Levels narrower than 128 lanes run lane-PACKED: ``128/W`` batch
-    images side by side per lane row (w_img masking keeps taps in-image)."""
+    images side by side per lane row (w_img masking keeps taps in-image).
+
+    With ``upfeat`` (the level's up-feat Deconv params) the 4x4-stride-2
+    transpose conv runs IN-KERNEL as the phase conv of
+    ``_upfeat_phase_weights``; the decoder then emits only (flow, up_feat8)
+    — no block activations reach HBM — and returns ``parts=None``.
+    Returns ``(flow, parts, up_feat)`` (``up_feat`` None when not fused).
+    """
     b, h, w, c0 = xcat.shape
     pack = _decoder_pack(b, w)
     block_ch = [c0] + list(_GROWTH)
+    fuse_up = upfeat is not None and not diff
     weights, biases, specs = [], [], []
     for j, g in enumerate(_GROWTH):
         cb = dec_params[f"ConvBlock_{j}"]["Conv_0"]
         weights.append(_split_newest_first(cb["kernel"], block_ch[: j + 1]))
         biases.append(cb["bias"])
-        specs.append(ConvSpec(reads=tuple(range(j + 1)), cout=g, emit=True))
+        specs.append(ConvSpec(reads=tuple(range(j + 1)), cout=g,
+                              emit=not fuse_up))
     pf = dec_params["PredictFlow_0"]["Conv_0"]
     weights.append(_split_newest_first(pf["kernel"], block_ch))
     biases.append(pf["bias"])
     specs.append(ConvSpec(reads=tuple(range(6)), cout=2, act=False, emit=True))
+    if fuse_up:
+        uw, ub = _upfeat_phase_weights(upfeat, block_ch)
+        weights.append(uw)
+        biases.append(ub)
+        specs.append(ConvSpec(reads=tuple(range(6)), cout=8, act=False,
+                              emit=True))
 
     if diff:
         outs = conv_group_diff(
@@ -238,10 +291,14 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False):
             interpret=interpret)
         if pack > 1:
             outs = [unpack_lanes(o, h, w, pack) for o in outs]
+        if fuse_up:
+            flow = flat_to_nhwc(outs[0], h, w, 2)
+            up_feat = _unpack_phases(flat_to_nhwc(outs[1], h, w, 8))
+            return flow, None, up_feat
         cs = [flat_to_nhwc(o, h, w, g) for o, g in zip(outs[:5], _GROWTH)]
         flow = flat_to_nhwc(outs[5], h, w, 2)
     parts = list(cs)[::-1] + [xcat]  # newest first; concat never built
-    return flow, parts
+    return flow, parts, None
 
 
 def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
@@ -508,14 +565,15 @@ def _fast_decode(
         c16, c26 = normalize_features([c16, c26])
     corr = _leaky(cost_volume(c16, c26, displacement))
     if _decoder_pack(b, corr.shape[2]) is not None:
-        flow, parts = _fused_dense_decoder(
+        flow, parts, up_feat = _fused_dense_decoder(
             p["DenseDecoder_0"], corr, th=_tile_for(corr.shape[1], th),
-            interpret=interpret, diff=diff)
+            interpret=interpret, diff=diff, upfeat=p["Deconv_1"])
     else:
         flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
-        parts = [feat]
+        parts, up_feat = [feat], None
     up_flow = _deconv(flow, p["Deconv_0"])
-    up_feat = _deconv_split(parts, p["Deconv_1"])
+    if up_feat is None:
+        up_feat = _deconv_split(parts, p["Deconv_1"])
 
     flow2 = None
     for i, (lvl, scale) in enumerate(zip((4, 3, 2, 1), warp_scales)):
@@ -529,14 +587,16 @@ def _fast_decode(
         if lvl > 1:
             dec = p[f"DenseDecoder_{i + 1}"]
             if _decoder_pack(b, xcat.shape[2]) is not None:
-                flow, parts = _fused_dense_decoder(
+                flow, parts, up_feat = _fused_dense_decoder(
                     dec, xcat, th=_tile_for(xcat.shape[1], th),
-                    interpret=interpret, diff=diff)
+                    interpret=interpret, diff=diff,
+                    upfeat=p[f"Deconv_{2 * i + 3}"])
             else:
                 flow, feat = _dense_decoder_xla(dec, xcat)
-                parts = [feat]
+                parts, up_feat = [feat], None
             up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
-            up_feat = _deconv_split(parts, p[f"Deconv_{2 * i + 3}"])
+            if up_feat is None:
+                up_feat = _deconv_split(parts, p[f"Deconv_{2 * i + 3}"])
         else:
             # diff mode emits EVERY block activation as a VMEM-windowed
             # output; at pick_tile's th=56 the L2 level's extra windows
