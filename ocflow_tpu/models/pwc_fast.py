@@ -109,27 +109,16 @@ def _enc_tile(h: int, w_lanes: int, k_s2: int, k_pair: int) -> int:
 
 def _encoder_fused(params, x, th=None, interpret=False):
     """SiameseEncoder with each LEVEL (stride-2 conv + conv pair) fused into
-    one kernel call, through two kernel families:
+    one conv-group kernel call (lane-packed at the narrow coarse levels).
 
-    - Fine levels with cout in {16, 32, 64} (whenever the level width is
-      64 * (128/cout)) run the W-PACKED encoder kernel
-      (ops/pallas/encoder_kernel.py): P = 128/cout output columns packed
-      into channels so every GEMM fills all 128 MXU rows, with the H-pair
-      layout chaining levels 0-2 end-to-end (profile: level 0 alone was
-      2.7 of the encoder's 4.6 ms at ~8 TFLOP/s — cout=16 fills 16/128
-      MXU rows in any unpacked formulation).
-    - Remaining levels run the conv-group kernel's stride-2 im2col mode
-      (lane-packed at the narrow coarse levels): W-stride 2 vanishes into
-      the W-pair channel packing folded into the nhwc_to_flat transpose,
-      H-stride 2 into the kernel's even-row write-back. (Earlier
-      phase-split and space-to-depth formulations lost to XLA-side layout
-      copies — PERF.md dead ends.)
-    """
-    from ocflow_tpu.ops.pallas.encoder_kernel import (
-        enc_level_packed, pack_image_hpair, unpack_hpair)
-
+    The stride-2 conv runs in-kernel via the stride-2 im2col mode: W-stride
+    2 vanishes into the W-pair channel packing (folded into the one
+    nhwc_to_flat transpose the level pays anyway) and H-stride 2 into the
+    kernel's even-row write-back. This replaced the XLA stride-2 convs that
+    were the encoder's ~5 ms "floor" — the earlier phase-split and
+    space-to-depth formulations lost to XLA-side layout copies (PERF.md
+    dead ends); this one adds NO layout work."""
     feats = []
-    hpair = None  # previous level's output in H-pair/W-pack layout
     for lvl in range(6):
         cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
         cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
@@ -137,29 +126,6 @@ def _encoder_fused(params, x, th=None, interpret=False):
         b, h_in, w_in, c_in = x.shape
         h, w = h_in // 2, w_in // 2
         c = cb0["kernel"].shape[3]
-        packable = (
-            128 % c == 0
-            and c in (16, 32, 64)
-            and w == 64 * (128 // c)
-            and h % 2 == 0
-            and b % 2 == 0
-            and (th is None or (h % th == 0 and th % 2 == 0))
-            and (hpair is None or c == 2 * c_in)  # chained-layout contract
-        )
-        if packable:
-            if hpair is None:
-                cur = pack_image_hpair(x, 2 * (128 // c), _ceil4(c_in))
-            else:
-                cur = hpair  # chained: prev P_out == 2 * this level's P
-            cur = enc_level_packed(
-                cur, cb0["kernel"], cb0["bias"], cb1["kernel"], cb1["bias"],
-                cb2["kernel"], cb2["bias"], h=h, c_in=c_in, c=c,
-                th=th, interpret=interpret)
-            x = unpack_hpair(cur, h, w, c, 128 // c)
-            hpair = cur
-            feats.append(x)
-            continue
-        hpair = None
         pack = _decoder_pack(b, w)
         if pack is not None:
             ws = [[cb0["kernel"]], [cb1["kernel"]], [cb2["kernel"]]]
@@ -186,10 +152,6 @@ def _encoder_fused(params, x, th=None, interpret=False):
             x = _conv(x, cb2["kernel"], cb2["bias"])
         feats.append(x)
     return feats
-
-
-def _ceil4(c: int) -> int:
-    return (c + 3) // 4 * 4
 
 
 def _ceil16(c: int) -> int:
