@@ -26,9 +26,14 @@ def main():
 
     enable_compilation_cache()
 
+    import os
+
     on_tpu = jax.default_backend() == "tpu"
     h, w = (448, 1024) if on_tpu else (64, 128)  # CPU fallback for smoke runs
-    batch = 16 if on_tpu else 2  # batch 16 > 8 by ~7% pairs/sec on v5e
+    # B=8 is the measured v5e operating point since the round-3 kernel work
+    # (358 vs 344 pairs/s at B=16, 286 at B=32 — HBM working-set pressure;
+    # PERF.md "Round-3 late"). BENCH_BATCH overrides for A/B runs.
+    batch = int(os.environ.get("BENCH_BATCH", 8)) if on_tpu else 2
 
     net = FlowNetCV()
     rng = np.random.default_rng(0)

@@ -182,10 +182,10 @@ def _split_newest_first(kernel, block_ch):
     return [w for _, w in sorted(splits, key=lambda t: t[0])]
 
 
-def _upfeat_phase_weights(deconv_params, block_ch):
-    """The up-feat ConvTranspose ([4,4,Cin,2], stride 2, SAME) as ONE plain
-    3x3 conv with 8 phase-structured output channels, runnable inside the
-    conv-group kernel (reads the VMEM block stripes like the flow head).
+def _phase_conv_weights(deconv_params):
+    """A stride-2 SAME ConvTranspose ([4,4,Cin,2]) as ONE plain 3x3 conv
+    with 8 phase-structured output channels, runnable inside the conv-group
+    kernel.
 
     Identity (delta-probe of ``lax.conv_transpose``):
         y[2h+dr, 2w+dc] += x[h, w] * k[2-dr, 2-dc]   for dr, dc in {-1..2}
@@ -193,13 +193,11 @@ def _upfeat_phase_weights(deconv_params, block_ch):
     axis — offsets {-1, 0} for phase 0 (k rows 0/2) and {0, +1} for phase 1
     (k rows 1/3) — i.e. a 3x3 conv whose weight
         k3[di, dj, :, (a,b,c)] = k[R(a,di), R(b,dj), :, c]
-    is zero outside those taps. The fused decoder then emits [.., 8] at
-    coarse res; ``_unpack_phases`` interleaves it to [.., 2H, 2W, 2] with a
-    cheap reshape/transpose. This replaces the XLA ``_deconv_split`` whose
-    cout=2 GEMMs fill 2/128 MXU rows (measured 1.14 ms at the 56x128 level
-    vs ~0.1 in-kernel) and lets the decoder skip emitting its block
-    activations to HBM altogether.
-    """
+    is zero outside those taps. The fused decoder emits [.., 8] at coarse
+    res; ``_unpack_phases`` interleaves it to [.., 2H, 2W, 2] with a cheap
+    reshape/transpose. This replaces the XLA deconvs whose cout=2 GEMMs
+    fill 2/128 MXU rows (up-feat: measured 1.14 ms at the 56x128 level vs
+    ~0.1 in-kernel)."""
     k = deconv_params["ConvTranspose_0"]["kernel"]
     bias = deconv_params["ConvTranspose_0"]["bias"]
     cin = k.shape[2]
@@ -208,8 +206,14 @@ def _upfeat_phase_weights(deconv_params, block_ch):
     for a, di, kr in taps:
         for b_, dj, kc in taps:
             k3 = k3.at[di, dj, :, a, b_, :].set(k[kr, kc])
-    k3 = k3.reshape(3, 3, cin, 8)
-    return _split_newest_first(k3, block_ch), jnp.tile(bias, 4)
+    return k3.reshape(3, 3, cin, 8), jnp.tile(bias, 4)
+
+
+def _upfeat_phase_weights(deconv_params, block_ch):
+    """Up-feat phase-conv weights split over the decoder's block stripes
+    (the deconv input is the DenseNet concat, newest first)."""
+    k3, bias8 = _phase_conv_weights(deconv_params)
+    return _split_newest_first(k3, block_ch), bias8
 
 
 def _unpack_phases(y8):
@@ -244,7 +248,7 @@ def _decoder_pack(b: int, w: int) -> int | None:
 
 
 def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
-                         upfeat=None):
+                         upfeat=None, upflow=None):
     """DenseDecoder as one fused kernel, emitting (flow, feat) like the flax
     module. Levels narrower than 128 lanes run lane-PACKED: ``128/W`` batch
     images side by side per lane row (w_img masking keeps taps in-image).
@@ -252,13 +256,21 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
     With ``upfeat`` (the level's up-feat Deconv params) the 4x4-stride-2
     transpose conv runs IN-KERNEL as the phase conv of
     ``_upfeat_phase_weights``; the decoder then emits only (flow, up_feat8)
-    — no block activations reach HBM — and returns ``parts=None``.
-    Returns ``(flow, parts, up_feat)`` (``up_feat`` None when not fused).
+    — no block activations reach HBM — and returns ``parts=None``. With
+    ``upflow`` additionally, the up-FLOW deconv runs in-kernel too (a
+    cin=2 phase conv reading the flow head's stripe — every spec output
+    lives in the shared VMEM scratch, so later specs can read it) and the
+    flow itself never reaches HBM: the decoder's only HBM outputs are the
+    two phase-packed upsampled tensors the next level consumes.
+    Returns ``(flow, parts, up_flow, up_feat)`` — ``flow``/``parts`` None
+    when superseded by fused outputs, ``up_flow``/``up_feat`` None when
+    not fused.
     """
     b, h, w, c0 = xcat.shape
     pack = _decoder_pack(b, w)
     block_ch = [c0] + list(_GROWTH)
     fuse_up = upfeat is not None and not diff
+    fuse_flow = upflow is not None and fuse_up
     weights, biases, specs = [], [], []
     for j, g in enumerate(_GROWTH):
         cb = dec_params[f"ConvBlock_{j}"]["Conv_0"]
@@ -269,7 +281,15 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
     pf = dec_params["PredictFlow_0"]["Conv_0"]
     weights.append(_split_newest_first(pf["kernel"], block_ch))
     biases.append(pf["bias"])
-    specs.append(ConvSpec(reads=tuple(range(6)), cout=2, act=False, emit=True))
+    specs.append(ConvSpec(reads=tuple(range(6)), cout=2, act=False,
+                          emit=not fuse_flow))
+    if fuse_flow:
+        fw, fb = _phase_conv_weights(upflow)
+        weights.append([fw])
+        biases.append(fb)
+        # block 6 = the flow head's stripe (block ids: 0 = xcat, 1-5 =
+        # growth convs, 6 = flow)
+        specs.append(ConvSpec(reads=(6,), cout=8, act=False, emit=True))
     if fuse_up:
         uw, ub = _upfeat_phase_weights(upfeat, block_ch)
         weights.append(uw)
@@ -291,14 +311,18 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
             interpret=interpret)
         if pack > 1:
             outs = [unpack_lanes(o, h, w, pack) for o in outs]
+        if fuse_flow:
+            up_flow = _unpack_phases(flat_to_nhwc(outs[0], h, w, 8))
+            up_feat = _unpack_phases(flat_to_nhwc(outs[1], h, w, 8))
+            return None, None, up_flow, up_feat
         if fuse_up:
             flow = flat_to_nhwc(outs[0], h, w, 2)
             up_feat = _unpack_phases(flat_to_nhwc(outs[1], h, w, 8))
-            return flow, None, up_feat
+            return flow, None, None, up_feat
         cs = [flat_to_nhwc(o, h, w, g) for o, g in zip(outs[:5], _GROWTH)]
         flow = flat_to_nhwc(outs[5], h, w, 2)
     parts = list(cs)[::-1] + [xcat]  # newest first; concat never built
-    return flow, parts, None
+    return flow, parts, None, None
 
 
 def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
@@ -565,13 +589,15 @@ def _fast_decode(
         c16, c26 = normalize_features([c16, c26])
     corr = _leaky(cost_volume(c16, c26, displacement))
     if _decoder_pack(b, corr.shape[2]) is not None:
-        flow, parts, up_feat = _fused_dense_decoder(
+        flow, parts, up_flow, up_feat = _fused_dense_decoder(
             p["DenseDecoder_0"], corr, th=_tile_for(corr.shape[1], th),
-            interpret=interpret, diff=diff, upfeat=p["Deconv_1"])
+            interpret=interpret, diff=diff, upfeat=p["Deconv_1"],
+            upflow=p["Deconv_0"])
     else:
         flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
-        parts, up_feat = [feat], None
-    up_flow = _deconv(flow, p["Deconv_0"])
+        parts, up_flow, up_feat = [feat], None, None
+    if up_flow is None:
+        up_flow = _deconv(flow, p["Deconv_0"])
     if up_feat is None:
         up_feat = _deconv_split(parts, p["Deconv_1"])
 
@@ -587,14 +613,16 @@ def _fast_decode(
         if lvl > 1:
             dec = p[f"DenseDecoder_{i + 1}"]
             if _decoder_pack(b, xcat.shape[2]) is not None:
-                flow, parts, up_feat = _fused_dense_decoder(
+                flow, parts, up_flow, up_feat = _fused_dense_decoder(
                     dec, xcat, th=_tile_for(xcat.shape[1], th),
                     interpret=interpret, diff=diff,
-                    upfeat=p[f"Deconv_{2 * i + 3}"])
+                    upfeat=p[f"Deconv_{2 * i + 3}"],
+                    upflow=p[f"Deconv_{2 * i + 2}"])
             else:
                 flow, feat = _dense_decoder_xla(dec, xcat)
-                parts, up_feat = [feat], None
-            up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
+                parts, up_flow, up_feat = [feat], None, None
+            if up_flow is None:
+                up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
             if up_feat is None:
                 up_feat = _deconv_split(parts, p[f"Deconv_{2 * i + 3}"])
         else:
