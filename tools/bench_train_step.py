@@ -61,8 +61,15 @@ def main():
     net = models.FlowNetCV(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (args.batch, h, w, 6)), jnp.float32)
+    # lr=0: identical per-step compute (adam still runs all its math), but
+    # the loss stays at its step-0 value — a stable sanity check. With a
+    # real lr, 10 steps of occ-aware training on RANDOM NOISE can collapse
+    # into the all-occluded minimum of the mask-normalized photometric
+    # loss (sum(err*vis)/sum(vis) -> 0/eps; fb-consistency has no
+    # occlusion penalty), which made the printed loss a noisy function of
+    # rounding realizations rather than a check.
     state = create_train_state(
-        net, jax.random.PRNGKey(0), x[:1], optax.adam(1e-4))
+        net, jax.random.PRNGKey(0), x[:1], optax.adam(0.0))
     train_step, _ = steps.make_unsupervised_flow_step(hparams)
     batch = {"images": x}
 
