@@ -34,7 +34,10 @@ from ocflow_tpu.ops.pallas.conv_chain_kernel import (
     pack_lanes,
     unpack_lanes,
 )
-from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused as cost_volume
+from ocflow_tpu.ops.pallas.cost_volume_kernel import (
+    cost_volume_fused as cost_volume,
+    cost_volume_fused_flat as cost_volume_flat,
+)
 from ocflow_tpu.ops.resize import resize_bilinear
 from ocflow_tpu.ops.warp import warp
 
@@ -248,7 +251,7 @@ def _decoder_pack(b: int, w: int) -> int | None:
 
 
 def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
-                         upfeat=None, upflow=None):
+                         upfeat=None, upflow=None, xf=None, xf_shape=None):
     """DenseDecoder as one fused kernel, emitting (flow, feat) like the flax
     module. Levels narrower than 128 lanes run lane-PACKED: ``128/W`` batch
     images side by side per lane row (w_img masking keeps taps in-image).
@@ -265,8 +268,19 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
     Returns ``(flow, parts, up_flow, up_feat)`` — ``flow``/``parts`` None
     when superseded by fused outputs, ``up_flow``/``up_feat`` None when
     not fused.
+
+    ``xf``/``xf_shape``: pre-FLAT input ``[B, ceil16(c0), H*W]`` with
+    ``xf_shape = (b, h, w, c0)`` — the inference path assembles the
+    decoder input by an axis-1 concat of flat blocks (the 81 corr
+    channels come channel-major from the cost-volume kernel, so only the
+    ~36 feature/up channels ever pay an NHWC transpose). Mutually
+    exclusive with ``xcat``; not supported with ``diff``.
     """
-    b, h, w, c0 = xcat.shape
+    if xf is not None:
+        assert xcat is None and not diff
+        b, h, w, c0 = xf_shape
+    else:
+        b, h, w, c0 = xcat.shape
     pack = _decoder_pack(b, w)
     block_ch = [c0] + list(_GROWTH)
     fuse_up = upfeat is not None and not diff
@@ -303,7 +317,8 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
             w if pack > 1 else None, interpret)
         cs, flow = outs[:5], outs[5]
     else:
-        xf = nhwc_to_flat(xcat)
+        if xf is None:
+            xf = nhwc_to_flat(xcat)
         if pack > 1:
             xf = pack_lanes(xf, h, w, pack)
         outs = conv_group(
@@ -326,12 +341,17 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
 
 
 def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
-                  diff=False):
+                  diff=False, xf=None, xf_shape=None):
     """Fused dense decoder + flow head + context conv 1 at level 2.
 
     Returns flow2 (pre-context flow + context residual), NHWC fp32.
+    ``xf``/``xf_shape``: pre-flat input, as in ``_fused_dense_decoder``.
     """
-    b, h, w, c0 = xcat.shape
+    if xf is not None:
+        assert xcat is None and not diff
+        b, h, w, c0 = xf_shape
+    else:
+        b, h, w, c0 = xcat.shape
     block_ch = [c0] + list(_GROWTH)
 
     weights, biases, specs = [], [], []
@@ -371,7 +391,8 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
         flow, y = outs[5], outs[6]
         return flow + _ctx_rest(y)
 
-    xf = nhwc_to_flat(xcat)
+    if xf is None:
+        xf = nhwc_to_flat(xcat)
     flow_f, y = conv_group(
         [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
     res = _ctx_rest(flat_to_nhwc(y, h, w, 128))
@@ -584,18 +605,32 @@ def _fast_decode(
     """Coarse-to-fine decode from precomputed feature pyramids (the body of
     ``fast_apply`` below the encoder)."""
     b = f1[0].shape[0]
+    use_flat = not diff  # flat-layout plumbing is inference-only
     c16, c26 = f1[5], f2[5]
     if normalize:
         c16, c26 = normalize_features([c16, c26])
-    corr = _leaky(cost_volume(c16, c26, displacement))
-    if _decoder_pack(b, corr.shape[2]) is not None:
+    h6, w6 = c16.shape[1], c16.shape[2]
+    if use_flat and _decoder_pack(b, w6) is not None:
+        # corr comes channel-major straight from the CV kernel; the only
+        # layout op the level pays is the zero-pad to the 16-aligned
+        # stripe width (nhwc_to_flat of an 81-ch NHWC corr is gone)
+        corr_f = _leaky(cost_volume_flat(c16, c26, displacement))
+        nk = corr_f.shape[1]
+        corr_f = jnp.pad(corr_f, ((0, 0), (0, _ceil16(nk) - nk), (0, 0)))
         flow, parts, up_flow, up_feat = _fused_dense_decoder(
-            p["DenseDecoder_0"], corr, th=_tile_for(corr.shape[1], th),
+            p["DenseDecoder_0"], None, th=_tile_for(h6, th),
             interpret=interpret, diff=diff, upfeat=p["Deconv_1"],
-            upflow=p["Deconv_0"])
+            upflow=p["Deconv_0"], xf=corr_f, xf_shape=(b, h6, w6, nk))
     else:
-        flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
-        parts, up_flow, up_feat = [feat], None, None
+        corr = _leaky(cost_volume(c16, c26, displacement))
+        if _decoder_pack(b, corr.shape[2]) is not None:
+            flow, parts, up_flow, up_feat = _fused_dense_decoder(
+                p["DenseDecoder_0"], corr, th=_tile_for(corr.shape[1], th),
+                interpret=interpret, diff=diff, upfeat=p["Deconv_1"],
+                upflow=p["Deconv_0"])
+        else:
+            flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
+            parts, up_flow, up_feat = [feat], None, None
     if up_flow is None:
         up_flow = _deconv(flow, p["Deconv_0"])
     if up_feat is None:
@@ -608,11 +643,33 @@ def _fast_decode(
         c1n, wn = (c1, warped)
         if normalize:
             c1n, wn = normalize_features([c1n, wn])
-        corr = _leaky(cost_volume(c1n, wn, displacement))
-        xcat = jnp.concatenate([corr, c1n, up_flow, up_feat], axis=-1)
+        h_l, w_l = c1n.shape[1], c1n.shape[2]
+        flat_lvl = use_flat and _decoder_pack(b, w_l) is not None
+        if flat_lvl:
+            corr_f = _leaky(cost_volume_flat(c1n, wn, displacement))
+            rest = jnp.concatenate([c1n, up_flow, up_feat], axis=-1)
+            rest_f = nhwc_to_flat(rest, c_pad=rest.shape[-1])
+            c0 = corr_f.shape[1] + rest.shape[-1]
+            pieces = [corr_f, rest_f]
+            if _ceil16(c0) != c0:
+                pieces.append(jnp.zeros(
+                    (b, _ceil16(c0) - c0, h_l * w_l), corr_f.dtype))
+            xf = jnp.concatenate(pieces, axis=1)
+            xcat = None
+        else:
+            corr = _leaky(cost_volume(c1n, wn, displacement))
+            xcat = jnp.concatenate([corr, c1n, up_flow, up_feat], axis=-1)
+            xf, c0 = None, None
         if lvl > 1:
             dec = p[f"DenseDecoder_{i + 1}"]
-            if _decoder_pack(b, xcat.shape[2]) is not None:
+            if flat_lvl:
+                flow, parts, up_flow, up_feat = _fused_dense_decoder(
+                    dec, None, th=_tile_for(h_l, th),
+                    interpret=interpret, diff=diff,
+                    upfeat=p[f"Deconv_{2 * i + 3}"],
+                    upflow=p[f"Deconv_{2 * i + 2}"],
+                    xf=xf, xf_shape=(b, h_l, w_l, c0))
+            elif _decoder_pack(b, xcat.shape[2]) is not None:
                 flow, parts, up_flow, up_feat = _fused_dense_decoder(
                     dec, xcat, th=_tile_for(xcat.shape[1], th),
                     interpret=interpret, diff=diff,
@@ -631,12 +688,12 @@ def _fast_decode(
             # push scoped VMEM past the 100 MB limit (measured compile
             # OOM) — th=16 fits and compiles. Inference keeps th=56.
             l2_th = th
-            if diff and th is None and xcat.shape[1] % 16 == 0:
+            if diff and th is None and h_l % 16 == 0:
                 l2_th = 16
             flow2 = _fused_level2(
                 p["DenseDecoder_4"], p["ContextNetwork_0"], xcat,
-                th=_tile_for(xcat.shape[1], l2_th), interpret=interpret,
-                diff=diff)
+                th=_tile_for(h_l, l2_th), interpret=interpret,
+                diff=diff, xf=xf, xf_shape=(b, h_l, w_l, c0))
 
     flow2 = flow2.astype(jnp.float32)
     h, w = flow2.shape[1] * 4, flow2.shape[2] * 4

@@ -87,7 +87,8 @@ def _pick_chunk(h: int, w: int, c: int, d: int, itemsize: int):
 
 
 def _forward_pallas(
-    f1: jax.Array, f2: jax.Array, max_displacement: int, interpret: bool = False
+    f1: jax.Array, f2: jax.Array, max_displacement: int,
+    interpret: bool = False, transpose_out: bool = True,
 ) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -129,12 +130,38 @@ def _forward_pallas(
         ),
         interpret=interpret,
     )(f1t, f2p)
+    if not transpose_out:
+        return out_khw  # [B, K, H, W] (channel-major, lane dim W)
     return jnp.transpose(out_khw, (0, 2, 3, 1))  # → [B, H, W, K]
 
 
 def fits_vmem(shape, max_displacement: int, itemsize: int = 2) -> bool:
     _, h, w, c = shape
     return _pick_chunk(h, w, c, max_displacement, itemsize) is not None
+
+
+def cost_volume_fused_flat(
+    f1: jax.Array, f2: jax.Array, max_displacement: int = 4
+) -> jax.Array:
+    """Inference-only fused cost volume emitting the FLAT channel-major
+    layout ``[B, (2d+1)^2, H*W]`` the conv-group kernel consumes.
+
+    The Pallas kernel already computes ``[B, K, H, W]`` internally
+    (full-tile stores); this entry point skips the kernel-exit NHWC
+    transpose AND the decoder-entry ``nhwc_to_flat`` of the K corr
+    channels — pwc_fast assembles the decoder input by a cheap axis-1
+    concat of flat blocks instead (no custom VJP: the gradient-carrying
+    path keeps the NHWC ``cost_volume_fused``)."""
+    b, h, w, c = f1.shape
+    nk = (2 * max_displacement + 1) ** 2
+    if jax.default_backend() == "tpu" and fits_vmem(
+        f1.shape, max_displacement, f1.dtype.itemsize
+    ):
+        out_khw = _forward_pallas(
+            f1, f2, max_displacement, transpose_out=False)
+        return out_khw.reshape(b, nk, h * w)
+    out = cost_volume_xla(f1, f2, max_displacement)  # NHWC fallback
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, nk, h * w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -83,3 +83,19 @@ def test_fused_backward_matches_autodiff(rng):
     got1, got2 = cvk._bwd(4, (f1, f2), g)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-3)
+
+
+def test_cost_volume_flat_matches_nhwc(rng):
+    """cost_volume_fused_flat == channel-major reshape of the NHWC cost
+    volume (the inference decode assembles decoder inputs from this flat
+    layout — pwc_fast._fast_decode). Off-TPU this exercises the XLA
+    fallback + transpose; the kernel's transpose_out=False path is
+    value-checked on the TPU (PERF.md)."""
+    from ocflow_tpu.ops.pallas.cost_volume_kernel import cost_volume_fused_flat
+
+    f1 = jnp.asarray(rng.standard_normal((2, 8, 16, 4)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 8, 16, 4)), jnp.float32)
+    flat = np.asarray(cost_volume_fused_flat(f1, f2, 2))
+    nhwc = np.asarray(cost_volume(f1, f2, 2))
+    want = np.transpose(nhwc, (0, 3, 1, 2)).reshape(2, 25, 8 * 16)
+    np.testing.assert_allclose(flat, want, atol=1e-5)
