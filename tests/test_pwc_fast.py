@@ -267,6 +267,48 @@ def test_conv_group_diff_grads_match_autodiff():
             np.asarray(gleaf), np.asarray(wleaf), atol=5e-3, rtol=1e-4)
 
 
+def test_conv_group_diff_grads_lane_packed():
+    """Adjoint-kernel grads on a lane-PACKED chain (w_img < w, the coarse
+    decoder levels) == autodiff of the XLA chain: the dx-tap masks must not
+    leak gradient across the packed image boundary."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import conv_group_diff
+
+    rng = np.random.default_rng(9)
+    B, H, W_IMG = 4, 8, 64  # pack=2 -> w_lanes 128
+    c0 = 16
+    x = jnp.asarray(rng.normal(size=(B, H, W_IMG, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 24)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+    w2a = jnp.asarray(rng.normal(size=(3, 3, c0, 8)) * 0.1, jnp.float32)
+    w2b = jnp.asarray(rng.normal(size=(3, 3, 24, 8)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    gseed = jnp.asarray(rng.normal(size=(B, H, W_IMG, 8)), jnp.float32)
+    g1seed = jnp.asarray(rng.normal(size=(B, H, W_IMG, 24)), jnp.float32)
+    specs = (ConvSpec(reads=(0,), cout=24, emit=True),
+             ConvSpec(reads=(0, 1), cout=8, act=False, emit=True))
+
+    def ref_loss(xx, ws, bs):
+        c1 = _conv_ref(xx, ws[0][0], bs[0])
+        c2 = _conv_ref(jnp.concatenate([xx, c1], -1),
+                       jnp.concatenate([ws[1][0], ws[1][1]], 2), bs[1],
+                       act=False)
+        return jnp.sum(c2 * gseed) + jnp.sum(c1 * g1seed)
+
+    def fast_loss(xx, ws, bs):
+        c1, c2 = conv_group_diff(
+            [xx], ws, bs, specs, H, 2 * W_IMG, 4, W_IMG, True)
+        return jnp.sum(c2 * gseed) + jnp.sum(c1 * g1seed)
+
+    ws = [[w1], [w2a, w2b]]
+    bs = [b1, b2]
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(x, ws, bs)
+    got = jax.grad(fast_loss, argnums=(0, 1, 2))(x, ws, bs)
+    for wleaf, gleaf in zip(jax.tree_util.tree_leaves(want),
+                            jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(gleaf), np.asarray(wleaf), atol=5e-3, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_fast_apply_sharded_matches_per_shard():
     """shard_map'd fused path on a 2-device mesh == per-shard fast_apply
