@@ -526,421 +526,6 @@ def conv_group(
 
 
 # ---------------------------------------------------------------------------
-# Fused adjoint kernel: the whole chain's backward in one Pallas pass
-# ---------------------------------------------------------------------------
-
-
-def _pack_weights_bwd(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
-    """[3,3,Cin,Cout] HWIO -> [k_pad, 9*cout_pad] for the adjoint GEMMs:
-    column block ``(dyi*3+dxi)*cout_pad`` holds W[dyi,dxi] (Cin rows, Cout
-    cols) — so ``dot(Wbwd, G9)`` contracts (tap, co) jointly against the
-    9-tap-rolled gradient stack."""
-    kh, kw, cin, cout = w_hwio.shape
-    assert kh == 3 and kw == 3
-    w = jnp.pad(w_hwio, ((0, 0), (0, 0), (0, k_pad - cin), (0, cout_pad - cout)))
-    w = jnp.transpose(w, (2, 0, 1, 3))  # [k_pad, 3, 3, cout_pad]
-    return w.reshape(k_pad, 9 * cout_pad)
-
-
-def _adjoint_kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
-                         offs, goffs, interpret):
-    """Backward of the conv chain over one (b, t) window.
-
-    Mirrors the forward's halo-recompute validity argument in reverse: the
-    gradient of block ``bid`` is COMPLETE over window rows
-    ``[gv[bid], R - gv[bid])`` with gv growing by ``dilation`` per consumer
-    hop, and gv <= halo for every block (same chain depth as the forward),
-    so the center ``th`` rows of every gradient are complete. dW/db
-    accumulate over center rows only; dx scatters over the whole window
-    (garbage lands in — and stays in — the discarded halo region).
-
-    Out-of-image window rows (first/last tile) are zeroed when a block's
-    accumulated gradient is consumed: the forward read ZEROS there
-    (zero-pad semantics), so gradient scattered into those rows must not
-    flow further back.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_convs = len(specs)
-    n_blocks = n_inputs + n_convs
-    n_wrefs = sum(1 if _is_contig(s.reads) else len(s.reads) for s in specs)
-    pos = 0
-    blk_hbm = refs[pos:pos + n_blocks]; pos += n_blocks
-    g_hbm = refs[pos:pos + n_convs]; pos += n_convs
-    w_refs = refs[pos:pos + n_wrefs]; pos += n_wrefs
-    dw_refs = refs[pos:pos + n_wrefs]; pos += n_wrefs
-    db_refs = refs[pos:pos + n_convs]; pos += n_convs
-    din_refs = refs[pos:pos + n_inputs]; pos += n_inputs
-    S = refs[pos]; pos += 1    # forward activations (operand dtype)
-    GE = refs[pos]; pos += 1   # external cotangents (operand dtype)
-    GS = refs[pos]; pos += 1   # accumulated internal gradients (fp32)
-    G3 = refs[pos]; pos += 1   # 3-dx-rolled gradient stack (operand dtype)
-    sems = refs[pos]
-
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
-    R = th + 2 * halo
-    m_c = th * w_lanes
-    sz = R * w_lanes
-    dt = S.dtype
-
-    # static first-writer tracking: a GS stripe row is read only after
-    # something wrote it, and the first write is a SET (saves the
-    # zero-init pass and one read per consumer)
-    gs_written: set[int] = set()
-
-    first = jnp.logical_and(b == 0, t == 0)
-
-    @pl.when(first)
-    def _():
-        for r in dw_refs:
-            r[...] = jnp.zeros(r.shape, r.dtype)
-        for r in db_refs:
-            r[...] = jnp.zeros(r.shape, r.dtype)
-
-    # DMA the activation and cotangent windows
-    copies = []
-    for i, src in enumerate(blk_hbm):
-        c = pltpu.make_async_copy(
-            src.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
-            S.at[pl.ds(offs[i], offs[i + 1] - offs[i]), :],
-            sems.at[i],
-        )
-        c.start()
-        copies.append(c)
-    for j, src in enumerate(g_hbm):
-        c = pltpu.make_async_copy(
-            src.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
-            GE.at[pl.ds(goffs[j], goffs[j + 1] - goffs[j]), :],
-            sems.at[n_blocks + j],
-        )
-        c.start()
-        copies.append(c)
-    for c in copies:
-        c.wait()
-
-    for j in reversed(range(n_convs)):
-        spec = specs[j]
-        d = spec.dilation
-        bj = n_inputs + j
-        cout_pad = offs[bj + 1] - offs[bj]
-        contig = _is_contig(spec.reads)
-        widx = sum(
-            1 if _is_contig(s.reads) else len(s.reads) for s in specs[:j])
-        my_w = w_refs[widx:widx + (1 if contig else len(spec.reads))]
-        my_dw = dw_refs[widx:widx + (1 if contig else len(spec.reads))]
-
-        # Drop gradient scattered into out-of-image window rows (the
-        # forward read ZEROS there — zero-pad semantics — so nothing may
-        # flow back through them). GE is already zero there (HBM pad);
-        # only the internal GS accumulator needs zeroing, right before
-        # this block's gradient is consumed. Ref stores under pl.when —
-        # a vector mask against the traced tile id trips a Mosaic i1
-        # relayout at the L2 shape.
-        if halo > 0 and bj in gs_written:
-            nzh = halo * w_lanes
-
-            @pl.when(t == 0)
-            def _():
-                GS[pl.ds(offs[bj], cout_pad), pl.ds(0, nzh)] = jnp.zeros(
-                    (cout_pad, nzh), GS.dtype)
-
-            @pl.when(t == nt - 1)
-            def _():
-                GS[pl.ds(offs[bj], cout_pad),
-                   pl.ds((halo + th) * w_lanes, nzh)] = jnp.zeros(
-                       (cout_pad, nzh), GS.dtype)
-
-        # gpost = external cotangent + accumulated internal contributions
-        gpost = GE[pl.ds(goffs[j], cout_pad), :].astype(jnp.float32)
-        if bj in gs_written:
-            gpost = gpost + GS[pl.ds(offs[bj], cout_pad), :]
-        if spec.act:
-            # vector-operand select: a scalar/scalar where here trips a
-            # Mosaic i1 relayout ("replicated in destination") at L2 shape
-            # fp32 compare: v5e VPU rejects a bf16 >= comparison
-            out_v = S[pl.ds(offs[bj], cout_pad), :].astype(jnp.float32)
-            gpre = jnp.where(out_v >= 0, gpost, gpost * 0.1)
-        else:
-            gpre = gpost
-
-        # db: exact fp32 VPU reduction over the center rows (an MXU
-        # ones-GEMM here loses ~1% to single-pass bf16 truncation under
-        # cancellation — bias grads sum large mixed-sign fields)
-        db_refs[j][:, 0:1] += jnp.sum(
-            gpre[:, halo * w_lanes:halo * w_lanes + m_c],
-            axis=1, keepdims=True)
-
-        # G9: one tap-rolled copy of gpre per (dy, dx). A dy row shift in
-        # flat layout IS a lane roll by dy*w, so
-        #   G9[tap][., pos] = gpre[., pos - offr*w - dx]
-        # is ONE roll of the small [cout, R*w] tensor per tap, masked where
-        # the dx part crosses an image column boundary. Roll wrap puts
-        # garbage only in window rows < d or >= R-d — strictly inside the
-        # discarded halo (any scatter target has gv >= d; dW's shifted
-        # pairing stays in gpre's complete span because v_out >= d).
-        # Then dW = ONE GEMM per range (contract center lanes) and
-        # dx = ONE GEMM + ONE stripe read-modify-write per range: the
-        # original per-(dy,dx) formulation paid 3x the GS traffic and
-        # value rolls of the big [K, R*w] product (compile > 9 min).
-        colq = jax.lax.broadcasted_iota(
-            jnp.int32, (cout_pad, R * w_lanes), 1) % w_img
-        for dyi in range(3):
-            for dxi in range(3):
-                dx = (dxi - 1) * d
-                shift = (dyi - 1) * d * w_lanes + dx
-                if shift == 0:
-                    sh = gpre
-                else:
-                    sh = pltpu.roll(gpre, shift=shift % sz, axis=1)
-                if dx > 0:
-                    sh = jnp.where(colq >= dx, sh, 0.0)
-                elif dx < 0:
-                    sh = jnp.where(colq < w_img + dx, sh, 0.0)
-                G3[pl.ds((dyi * 3 + dxi) * cout_pad, cout_pad), :] = (
-                    sh.astype(dt))
-
-        if contig:
-            k0 = offs[spec.reads[0]]
-            K = offs[spec.reads[-1] + 1] - k0
-            ranges = [(0, k0, K, tuple(spec.reads))]
-        else:
-            ranges = [
-                (r, offs[bid], offs[bid + 1] - offs[bid], (bid,))
-                for r, bid in enumerate(spec.reads)
-            ]
-
-        for r, k0, K, bids in ranges:
-            # dW: all 9 taps in one GEMM over the center rows' lanes
-            blk_c = S[pl.ds(k0, K), pl.ds(halo * w_lanes, m_c)]
-            my_dw[r][...] += jax.lax.dot_general(
-                blk_c, G3[pl.ds(0, 9 * cout_pad),
-                          pl.ds(halo * w_lanes, m_c)],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dx: all 9 taps in one GEMM, one stripe write per range
-            dc_tot = jax.lax.dot_general(
-                my_w[r][:, :], G3[pl.ds(0, 9 * cout_pad), :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if not any(bid in gs_written for bid in bids):
-                GS[pl.ds(k0, K), :] = dc_tot  # first writer: SET
-            else:
-                for bid in bids:  # zero unwritten stripes of a mixed range
-                    if bid not in gs_written:
-                        cb = offs[bid + 1] - offs[bid]
-                        GS[pl.ds(offs[bid], cb), :] = jnp.zeros(
-                            (cb, sz), GS.dtype)
-                GS[pl.ds(k0, K), :] += dc_tot
-            gs_written.update(bids)
-
-    for i in range(n_inputs):
-        if i in gs_written:
-            din_refs[i][0, :, :] = GS[
-                pl.ds(offs[i], offs[i + 1] - offs[i]),
-                pl.ds(halo * w_lanes, th * w_lanes)]
-        else:  # input read by no conv: zero gradient
-            din_refs[i][0, :, :] = jnp.zeros(
-                din_refs[i].shape[1:], din_refs[i].dtype)
-
-
-def conv_group_adjoint(
-    inputs: Sequence[jax.Array],
-    weights: Sequence[Sequence[jax.Array]],
-    specs: Sequence[ConvSpec],
-    acts: Sequence[jax.Array],
-    gouts: Sequence[jax.Array],
-    h: int,
-    w: int,
-    th: int = 8,
-    w_img: int | None = None,
-    interpret: bool = False,
-):
-    """Fused backward of a ``conv_group`` chain (stride-1, non-im2col specs).
-
-    inputs/acts/gouts are FLAT ``[B, C_pad, H*W]`` arrays (the kernel
-    layout): ``inputs`` the chain inputs, ``acts`` every conv's emitted
-    output, ``gouts`` the cotangent of every conv's output. Returns
-    ``(dins, dws, dbs)`` with dins flat fp32 ``[B, C_pad, H*W]``,
-    dws[j][r] = [3,3,Cin_r,Cout_j] and dbs[j] = [Cout_j] (weight dtypes).
-
-    Replaces the per-(spec, read-block) XLA conv-VJP adjoint (measured
-    ~17% MXU utilization at the PWC L2 shape — skinny filter-grad convs +
-    a fp32 HBM gradient accumulator per block): here every tap is a
-    canonical GEMM over the window's lanes and the gradient accumulator
-    lives in VMEM.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    specs = tuple(specs)
-    n_inputs = len(inputs)
-    n_convs = len(specs)
-    if w_img is None:
-        w_img = w
-    assert w % 128 == 0 and h % th == 0 and w % w_img == 0
-    for s in specs:
-        assert s.stride == 1 and not s.im2col, (
-            "conv_group_adjoint supports plain stride-1 specs only")
-    bsz = inputs[0].shape[0]
-    dtype = inputs[0].dtype
-
-    valid: list[int] = [0] * n_inputs
-    for s in specs:
-        valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
-    halo = max(valid[n_inputs:])
-    assert halo <= th or h <= th, (
-        f"halo {halo} > tile {th}: grow th or split the chain")
-    R = th + 2 * halo
-
-    in_ch = [int(x.shape[1]) for x in inputs]
-    block_ch = list(in_ch) + [_ceil_to(s.cout, 16) for s in specs]
-    offs = [0]
-    for c in block_ch:
-        offs.append(offs[-1] + c)
-    goffs = [0]
-    for j in range(n_convs):
-        goffs.append(goffs[-1] + block_ch[n_inputs + j])
-
-    def _pad_rows(x):
-        c = x.shape[1]
-        return jnp.pad(
-            x.reshape(bsz, c, h, w), ((0, 0), (0, 0), (halo, halo), (0, 0))
-        ).reshape(bsz, c, (h + 2 * halo) * w)
-
-    padded_blocks = [_pad_rows(x) for x in inputs]
-    padded_blocks += [_pad_rows(a.astype(dtype)) for a in acts]
-    padded_gouts = [_pad_rows(g.astype(dtype)) for g in gouts]
-
-    packed_w = []
-    dw_shapes = []
-    for j, s in enumerate(specs):
-        cp = block_ch[n_inputs + j]
-        per_block = [
-            _pack_weights_bwd(weights[j][r], block_ch[bid], cp).astype(dtype)
-            for r, bid in enumerate(s.reads)
-        ]
-        if _is_contig(s.reads):
-            # one lhs over the whole stripe range: rows in stripe order
-            packed_w.append(jnp.concatenate(per_block, axis=0))
-            dw_shapes.append(
-                (sum(block_ch[bid] for bid in s.reads), 9 * cp))
-        else:
-            packed_w.extend(per_block)
-            dw_shapes.extend(
-                (block_ch[bid], 9 * cp) for bid in s.reads)
-
-    kern = functools.partial(
-        _adjoint_kernel_body, specs=specs, n_inputs=n_inputs, th=th,
-        halo=halo, w_lanes=w, w_img=w_img, offs=tuple(offs),
-        goffs=tuple(goffs), interpret=interpret,
-    )
-
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    vmem = pltpu.VMEM
-    n_blocks = n_inputs + n_convs
-    in_specs = (
-        [any_spec] * n_blocks
-        + [any_spec] * n_convs
-        + [pl.BlockSpec(memory_space=vmem)] * len(packed_w)
-    )
-    out_specs = (
-        [pl.BlockSpec(s, lambda b, t: (0, 0), memory_space=vmem)
-         for s in dw_shapes]
-        + [pl.BlockSpec((block_ch[n_inputs + j], 8), lambda b, t: (0, 0),
-                        memory_space=vmem) for j in range(n_convs)]
-        + [pl.BlockSpec((1, in_ch[i], th * w), lambda b, t: (b, 0, t),
-                        memory_space=vmem) for i in range(n_inputs)]
-    )
-    out_shape = (
-        [jax.ShapeDtypeStruct(s, jnp.float32) for s in dw_shapes]
-        + [jax.ShapeDtypeStruct((block_ch[n_inputs + j], 8), jnp.float32)
-           for j in range(n_convs)]
-        + [jax.ShapeDtypeStruct((bsz, in_ch[i], h * w), jnp.float32)
-           for i in range(n_inputs)]
-    )
-    cout9_max = max(9 * block_ch[n_inputs + j] for j in range(n_convs))
-    scratch = [
-        vmem((offs[-1], R * w), dtype),            # S: activations
-        vmem((goffs[-1], R * w), dtype),           # GE: external cotangents
-        vmem((offs[-1], R * w), jnp.float32),      # GS: gradient stripes
-        vmem((cout9_max, R * w), dtype),           # G9: tap-rolled grads
-        pltpu.SemaphoreType.DMA((n_blocks + n_convs,)),
-    ]
-
-    flops = 0
-    for j, s in enumerate(specs):
-        k = sum(block_ch[bid] for bid in s.reads)
-        cp = block_ch[n_inputs + j]
-        # dW over center rows + dx over the full window
-        flops += 2 * 9 * cp * k * (th * w + R * w)
-    flops *= bsz * (h // th)
-
-    outs = pl.pallas_call(
-        kern,
-        grid=(bsz, h // th),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=sum(
-                int(np.prod(x.shape)) for x in padded_blocks + padded_gouts
-            ) * dtype.itemsize,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*padded_blocks, *padded_gouts, *packed_w)
-
-    n_w = len(packed_w)
-    dw_flat = outs[:n_w]
-    db_raw = outs[n_w:n_w + n_convs]
-    dins = list(outs[n_w + n_convs:])
-
-    dws = []
-    db_list = []
-    wi = 0
-    for j, s in enumerate(specs):
-        cp = block_ch[n_inputs + j]
-        contig = _is_contig(s.reads)
-        if contig:
-            flat = dw_flat[wi]; wi += 1
-            K = flat.shape[0]
-            # [K, 3(dy), 3(dx), cout_pad] -> [3, 3, K, cout_pad]
-            dw4 = jnp.transpose(
-                flat.reshape(K, 3, 3, cp), (1, 2, 0, 3))
-            dwj = []
-            k0 = 0
-            for r, bid in enumerate(s.reads):
-                kb = block_ch[bid]
-                cin = weights[j][r].shape[2]
-                dwj.append(dw4[:, :, k0:k0 + cin, :s.cout].astype(
-                    weights[j][r].dtype))
-                k0 += kb
-        else:
-            dwj = []
-            for r, bid in enumerate(s.reads):
-                flat = dw_flat[wi]; wi += 1
-                kb = block_ch[bid]
-                cin = weights[j][r].shape[2]
-                dw4 = jnp.transpose(
-                    flat.reshape(kb, 3, 3, cp), (1, 2, 0, 3))
-                dwj.append(dw4[:, :, :cin, :s.cout].astype(
-                    weights[j][r].dtype))
-        dws.append(dwj)
-        db_list.append(db_raw[j][:s.cout, 0].astype(weights[j][0].dtype))
-    return dins, dws, db_list
-
-
-# ---------------------------------------------------------------------------
 # Differentiable wrapper: Pallas forward, manual XLA backward
 # ---------------------------------------------------------------------------
 
@@ -972,26 +557,18 @@ def conv_group_diff(inputs, weights, biases, specs, h, w, th, w_img=None,
     conversion happens inside. Returns every conv's output (NHWC, logical
     channels) — callers pick what they need; XLA DCEs unused emissions only
     on the non-diff path, so prefer ``conv_group`` for inference.
+
+    A fully-fused Pallas adjoint kernel (fp32 gradient stripe in VMEM, all
+    9 taps of dW and dx as two GEMMs per conv against a tap-rolled gradient
+    stack) was built, proven grad-exact on the TPU, and REMOVED after
+    measurement (commit 6a52fb2, PERF.md "Pallas chain adjoint"): 27.4 ms
+    vs 23.4 ms for this XLA adjoint at the L2 decoder shape — XLA's conv
+    VJPs run at ~59% of bf16 peak here and the kernel's window DMA +
+    gradient-stripe serialization costs more than the fusion saves.
     """
     outs, _ = _diff_fwd_impl(
         inputs, weights, biases, specs, h, w, th, w_img, interpret)
     return outs
-
-
-def _use_adjoint_kernel(specs, interpret):
-    """The fused Pallas adjoint runs wherever the forward kernel runs
-    (TPU, or interpret mode for tests); the XLA conv-VJP mirror remains
-    the fallback (and can be forced with OCFLOW_ADJOINT=xla for A/B
-    measurements). Decision is trace-time-static."""
-    import os
-
-    import jax
-
-    if os.environ.get("OCFLOW_ADJOINT") == "xla":
-        return False
-    if any(s.im2col or s.stride != 1 for s in specs):
-        return False
-    return interpret or jax.default_backend() == "tpu"
 
 
 def _diff_fwd_impl(inputs, weights, biases, specs, h, w, th, w_img, interpret):
@@ -1017,12 +594,7 @@ def _diff_fwd_impl(inputs, weights, biases, specs, h, w, th, w_img, interpret):
         if pack > 1:
             o = unpack_lanes(o, h, w_img, pack)
         acts.append(flat_to_nhwc(o, h, w_img if pack > 1 else w, s.cout))
-    if _use_adjoint_kernel(specs, interpret):
-        # the fused adjoint consumes the kernel-layout activations directly
-        res = (inputs, weights, None, flat_inputs, outs_f)
-    else:
-        res = (inputs, weights, acts, None, None)
-    return acts, res
+    return acts, (inputs, weights, acts)
 
 
 def _diff_fwd(inputs, weights, biases, specs, h, w, th, w_img, interpret):
@@ -1032,28 +604,7 @@ def _diff_fwd(inputs, weights, biases, specs, h, w, th, w_img, interpret):
 
 
 def _diff_bwd(specs, h, w, th, w_img, interpret, res, gouts):
-    inputs, weights, acts, flat_inputs, outs_f = res
-    if _use_adjoint_kernel(specs, interpret):
-        pack = 1
-        if w_img is not None and w_img != w:
-            pack = w // w_img
-        wi = w_img if pack > 1 else w
-        gfs = []
-        for g in gouts:
-            gf = nhwc_to_flat(g)
-            if pack > 1:
-                gf = pack_lanes(gf, h, wi, pack)
-            gfs.append(gf)
-        dins_f, dws, dbs = conv_group_adjoint(
-            flat_inputs, weights, specs, outs_f, gfs, h, w,
-            th=th, w_img=w_img, interpret=interpret)
-        dins = []
-        for df, x in zip(dins_f, inputs):
-            if pack > 1:
-                df = unpack_lanes(df, h, wi, pack)
-            dins.append(
-                flat_to_nhwc(df, h, wi, x.shape[-1]).astype(x.dtype))
-        return dins, dws, dbs
+    inputs, weights, acts = res
     n_inputs = len(inputs)
 
     def block_val(bid):
