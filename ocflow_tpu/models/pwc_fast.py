@@ -370,34 +370,53 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
     biases.append(c1p["bias"])
     specs.append(ConvSpec(reads=tuple(range(6)), cout=128, emit=True))
 
-    # The dilated context chain (no concat growth) stays on XLA: measured
-    # near-peak there (0.19-0.31 ms per 128ch conv), while in-kernel
-    # dilated convs pay the per-dy K=128 GEMM split plus the d=8/16 halo
-    # recompute (R/th up to 2.9x). The round-3 two-kernel split (halo 12 +
-    # halo 26, dc3 round-tripped through HBM) was built and measured:
-    # 30.3 ms vs 28.0 ms end-to-end — the layout round trips it removes
-    # are cheaper than the halo recompute it adds. Only the dense part +
-    # ctx conv 1 (which reads the VMEM concat) stay fused.
-    def _ctx_rest(y):
-        for j, (g, d) in enumerate(_CTX[1:], start=1):
+    # The DILATED context convs (d=2..16, 128ch) stay on XLA: measured
+    # 0.32-0.44 ms each at B=8 (74-155 TFLOP/s), while in-kernel dilated
+    # convs pay the per-dy K=128 GEMM split plus the d=8/16 halo recompute
+    # (R/th up to 2.9x). The round-3 two-kernel split (halo 12 + halo 26,
+    # dc3 round-tripped through HBM) was built and measured: 30.3 ms vs
+    # 28.0 ms end-to-end — the layout round trips it removes are cheaper
+    # than the halo recompute it adds. The chain TAIL is different: the
+    # 64->32 conv runs at 25 TFLOP/s and the 32->2 flow head at 0.5
+    # (cout fills 2/128 MXU rows — 0.86 ms for 11 GFLOP), so those two run
+    # as one small im2col conv-group whose flat output adds to the fused
+    # flow without ever transposing.
+    def _ctx_dilated(y):
+        for j, (g, d) in enumerate(_CTX[1:-1], start=1):
             cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
             y = _conv(y, cb["kernel"], cb["bias"], dilation=d)
-        pf = ctx_params["PredictFlow_0"]["Conv_0"]
-        return _conv(y, pf["kernel"], pf["bias"], act=False)
+        return y  # [B, H, W, 64] after the d=16 conv
+
+    c5 = ctx_params["ConvBlock_5"]["Conv_0"]
+    pfc = ctx_params["PredictFlow_0"]["Conv_0"]
+
+    def _ctx_tail_xla(y):
+        y = _conv(y, c5["kernel"], c5["bias"])
+        return _conv(y, pfc["kernel"], pfc["bias"], act=False)
+
+    def _ctx_tail_flat(y):
+        (res_f,) = conv_group(
+            [nhwc_to_flat(y)],
+            [[c5["kernel"]], [pfc["kernel"]]],
+            [c5["bias"], pfc["bias"]],
+            [ConvSpec(reads=(0,), cout=32, im2col=True),
+             ConvSpec(reads=(1,), cout=2, act=False, emit=True,
+                      im2col=True)],
+            h, w, th=_tile_for(h, None), interpret=interpret)
+        return res_f  # [B, 16, H*W] flat (channels 2..15 are zero pad)
 
     if diff:
         outs = conv_group_diff(
             [xcat], weights, biases, tuple(specs), h, w, th, None, interpret)
         flow, y = outs[5], outs[6]
-        return flow + _ctx_rest(y)
+        return flow + _ctx_tail_xla(_ctx_dilated(y))
 
     if xf is None:
         xf = nhwc_to_flat(xcat)
     flow_f, y = conv_group(
         [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
-    res = _ctx_rest(flat_to_nhwc(y, h, w, 128))
-    flow = flat_to_nhwc(flow_f, h, w, 2) + res
-    return flow
+    res_f = _ctx_tail_flat(_ctx_dilated(flat_to_nhwc(y, h, w, 128)))
+    return flat_to_nhwc(flow_f + res_f, h, w, 2)
 
 
 def fast_apply_sharded(

@@ -45,14 +45,16 @@ def flow_to_warp(flow: jax.Array) -> jax.Array:
     return grid[None] + flow
 
 
-# Channel threshold between the two gather formulations below. Measured
-# crossover on v5e (PERF.md "warp gather"): at C=3 (photometric/data warps)
-# the packed gather is 2.6x faster (74.7 -> 28.6 ms at 448x1024 B=8 bf16);
-# at C>=32 (coherent-start PWC feature warps, ~11 ns/desc already) the
-# packed variant's 4x feature copy costs more than it saves (bench 312.7 ->
-# 304.4 pairs/s with packed-everywhere). 8 covers images (3), flows (2),
-# masks (1) without touching any feature warp.
-_PACK_C_MAX = 8
+# Channel threshold between the two gather formulations below. Measured on
+# v5e (PERF.md "warp gather"): at C=3 (photometric/data warps) the packed
+# gather is 2.6x faster (74.7 -> 28.6 ms at 448x1024 B=8 bf16); at C=32
+# (the lvl-1 PWC feature warp, coherent starts) packing wins ~8% in
+# isolation and a full 0.9 ms in situ (bench 361 -> 374 pairs/s; the
+# round-2 "packed-everywhere regresses" result predated the flat-layout
+# decode and no longer reproduces). C=64 measured neutral-to-slightly-
+# positive; the C=96/128 coarse-level warps are descriptor-count-tiny and
+# keep the windowed form to skip the 4x packed copy.
+_PACK_C_MAX = 64
 
 
 def _gather_2x2(img: jax.Array, x0: jax.Array, y0: jax.Array) -> jax.Array:
