@@ -110,6 +110,10 @@ def main():
             inp_net = models.build(
                 "inpainting",
                 {"simple": "simple", "gated": "gated", "gated_org": "gated_org"}[inp_key],
+                # full-res GC training backprops through the (gated-)frozen
+                # inpainter even before unfreeze — remat is as mandatory
+                # here as in the pure-inpainting regime (see Config.remat)
+                **({"remat": True} if cfg.remat and "gated" in inp_key else {}),
             )
             occ_vars = occ_net.init(rng, sample["images"][:1])
             inp_vars = inp_net.init(
@@ -212,6 +216,39 @@ def main():
             return {"inpaint": panels_lib.inpainting_panel(
                 np.asarray(occluded[0], np.float32), refined, image,
                 complete)}
+
+    elif network_type == "twostage" and cfg.with_gt_flow:
+        # full-pipeline panel: frames / GT-flow warp / predicted occlusion /
+        # completed frame (the reference's qualitative val dump for
+        # TwoStageModelGC, model.py:1256-1300)
+        from ocflow_tpu.ops.warp import warp as _warp
+        from ocflow_tpu.utils import panels as panels_lib
+
+        @jax.jit
+        def _viz_two(st, images, flow):
+            warped = _warp(images[..., 3:], flow, align_corners=True,
+                           grad_img=False)
+            occ_vars = {"params": st.params["occ"]}
+            if st.batch_stats and st.batch_stats.get("occ"):
+                occ_vars["batch_stats"] = st.batch_stats["occ"]
+            occ_soft = occ_net.apply(occ_vars, images, train=False)
+            inp_vars = {"params": st.params["inpaint"]}
+            if st.batch_stats and st.batch_stats.get("inpaint"):
+                inp_vars["batch_stats"] = st.batch_stats["inpaint"]
+            out = inp_net.apply(inp_vars, warped, occ_soft, train=False)
+            completed = out[1] if isinstance(out, tuple) else out
+            return warped, occ_soft, completed
+
+        def viz_fn(st, batch):
+            imgs = jnp.asarray(batch["images"][:1], jnp.float32)
+            flow = jnp.asarray(batch["flow"][:1], jnp.float32)
+            warped, occ_soft, completed = jax.device_get(
+                _viz_two(st, imgs, flow))
+            img1 = np.asarray(imgs[0, ..., :3], np.float32)
+            img2 = np.asarray(imgs[0, ..., 3:], np.float32)
+            return {"pipeline": panels_lib.pipeline_panel(
+                img1, img2, np.asarray(flow[0], np.float32), warped[0],
+                occ_soft[0], completed[0])}
 
     state = loop.fit(cfg, state, train_step, eval_step, train_loader,
                      val_loader, viz_fn=viz_fn)
