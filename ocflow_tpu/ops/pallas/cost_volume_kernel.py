@@ -45,20 +45,22 @@ def _kernel(f1_ref, f2p_ref, out_ref, *, num_shifts: int, chunk: int, width: int
     hh = pl.program_id(1)
     f1 = f1_ref[0].astype(jnp.float32)  # [chunk, C, W]
     inv_c = 1.0 / f1.shape[1]
-    for i in range(num_shifts):
-        rows = f2p_ref[0, pl.ds(hh * chunk + i, chunk), :, :].astype(
-            jnp.float32
-        )  # [chunk, C, W+2d]
-        for j in range(num_shifts):
-            # shifted[..., x] = rows[..., x + j]: roll left by j == roll right
-            # by (size - j); pltpu.roll wants non-negative shifts
-            shifted = (
-                rows
-                if j == 0
-                else pltpu.roll(rows, shift=rows.shape[2] - j, axis=2)
-            )
-            shifted = shifted[:, :, :width]
-            corr = jnp.sum(f1 * shifted, axis=1) * inv_c  # [chunk, W]
+    # The dx roll depends only on j, and the dy shift is a FREE static slice
+    # on the (untiled) outer dim — so roll the whole (chunk + 2d)-row window
+    # once per j instead of once per (i, j): 2d+1 rolls per tile, not
+    # (2d+1)^2 (measured ~25% off the kernel at PWC level-1/2 shapes).
+    win = f2p_ref[0, pl.ds(hh * chunk, chunk + num_shifts - 1), :, :].astype(
+        jnp.float32
+    )  # [chunk+2d, C, W+2d]
+    for j in range(num_shifts):
+        # rolled[..., x] = win[..., x + j]: roll left by j == roll right
+        # by (size - j); pltpu.roll wants non-negative shifts
+        rolled = (
+            win if j == 0 else pltpu.roll(win, shift=win.shape[2] - j, axis=2)
+        )
+        rolled = rolled[:, :, :width]
+        for i in range(num_shifts):
+            corr = jnp.sum(f1 * rolled[i : i + chunk], axis=1) * inv_c
             out_ref[0, i * num_shifts + j, :, :] = corr.astype(out_ref.dtype)
 
 
@@ -78,7 +80,7 @@ def _pick_chunk(h: int, w: int, c: int, d: int, itemsize: int):
             th * c * w * itemsize  # f1 block
             + n * n * th * w * itemsize  # out block
             + th * c * w * 4  # f1 fp32 copy
-            + th * c * (w + 2 * d) * 4 * 2  # rows fp32 + one rolled copy
+            + (th + 2 * d) * c * (w + 2 * d) * 4 * 2  # win fp32 + rolled copy
             + th * c * w * 4  # product temporary
         )
         if fixed + per <= _VMEM_BUDGET:
