@@ -76,7 +76,12 @@ def main():
                 jax.tree_util.tree_leaves(out)[0], jnp.float32))[:1])
         return jax.jit(wrapped)
 
-    rows = []
+    class _Rows(list):  # print incrementally so timeouts keep progress
+        def append(self, row):
+            super().append(row)
+            print(f"{row[0]:<38} {row[1] * 1e3:7.2f}", flush=True)
+
+    rows = _Rows()
 
     # ---- full forward ----
     def full_body(c):
