@@ -41,6 +41,7 @@ class ConvBlock(nn.Module):
     padding: int | None = None  # default: (k-1)//2 * dilation
     use_bn: bool = False
     act: bool = True
+    use_bias: bool | None = None  # default: bias iff no BN follows
     dtype: Any = None
 
     @nn.compact
@@ -54,7 +55,7 @@ class ConvBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             kernel_dilation=(self.dilation, self.dilation),
-            use_bias=not self.use_bn,
+            use_bias=not self.use_bn if self.use_bias is None else self.use_bias,
             dtype=self.dtype,
         )(x)
         if self.use_bn:

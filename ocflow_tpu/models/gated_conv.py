@@ -25,9 +25,13 @@ from ocflow_tpu.ops.resize import resize_bilinear
 
 
 def _torch_pad(k: int, s: int, d: int = 1) -> int:
-    """SAME-style symmetric padding for stride-s convs (reference get_pad,
-    gated_conv_inpainting_net.py:9-18, for sizes divisible by s)."""
-    return (d * (k - 1) + 2 - s) // 2 if s > 1 else d * (k - 1) // 2
+    """Reference ``get_pad`` (gated_conv_inpainting_net.py:9-18) for input
+    sizes divisible by ``s``: pad = ((in/s - 1)*s + d*(k-1) + 1 - in) // 2
+    = (d*(k-1) + 1 - s) // 2. NOT true SAME for k=5,s=2 (pad 1 → output is
+    in/2 - 1, a reference quirk the discriminators inherit; a +2-instead-of-+1
+    variant here used to pad 2 and silently grow every critic map — repaired
+    round 4, caught by the torch goldens)."""
+    return (d * (k - 1) + 1 - s) // 2
 
 
 class _Conv(nn.Module):
@@ -57,28 +61,34 @@ class _Conv(nn.Module):
 
 
 class _ProjConv(nn.Module):
-    """1x1 → kxk → 1x1 projected conv (reference Conv2dWithProj :20-36)."""
+    """1x1 → kxk → 1x1 projected conv (reference Conv2dWithProj :20-36).
+
+    ``use_bias`` follows the caller: gated towers pass bias=False (reference
+    GatedProjConv2dWithActivation default), the SN discriminators bias=True
+    (SNProjConvWithActivation :250)."""
 
     features: int
     kernel_size: int
     stride: int = 1
     dilation: int = 1
     proj_ratio: int = 4
+    use_bias: bool = False
     spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False):
         inter = max(x.shape[-1] // self.proj_ratio, 1)
-        x = _Conv(inter, 1, use_bias=False, spectral_norm=self.spectral_norm)(
-            x, update_stats
-        )
+        x = _Conv(
+            inter, 1, use_bias=self.use_bias, spectral_norm=self.spectral_norm
+        )(x, update_stats)
         x = _Conv(
             inter, self.kernel_size, self.stride, self.dilation,
-            use_bias=False, spectral_norm=self.spectral_norm,
+            use_bias=self.use_bias, spectral_norm=self.spectral_norm,
         )(x, update_stats)
-        x = _Conv(self.features, 1, use_bias=False, spectral_norm=self.spectral_norm)(
-            x, update_stats
-        )
+        x = _Conv(
+            self.features, 1, use_bias=self.use_bias,
+            spectral_norm=self.spectral_norm,
+        )(x, update_stats)
         return x
 
 
@@ -94,6 +104,11 @@ class GatedConv(nn.Module):
     batch_norm: bool = True
     activation: str | None = "leaky_relu"  # 'leaky_relu' | 'tanh' | None
     spectral_norm: bool = False
+    # None → reference defaults: projected towers are bias-free
+    # (GatedProjConv2dWithActivation bias=False, :45) while plain ones are
+    # biased (GatedConv2dWithActivation bias=True, :85). The gated DECONVS
+    # pass bias=True even when projected (:118) — GatedDeConv overrides.
+    use_bias: bool | None = None
     # rematerialize this block's forward in the backward pass
     # (jax.checkpoint): at 448x1024 the GAN training step's activation
     # temps exceed HBM (measured 15.7 GB requested, 16 GB chip) — remat
@@ -111,11 +126,13 @@ class GatedConv(nn.Module):
 
     def _body(self, x, train: bool):
         tower = _ProjConv if self.projected else _Conv
+        bias = (not self.projected) if self.use_bias is None else self.use_bias
         kwargs = dict(
             features=self.features,
             kernel_size=self.kernel_size,
             stride=self.stride,
             dilation=self.dilation,
+            use_bias=bias,
             spectral_norm=self.spectral_norm,
         )
         if self.projected:
@@ -149,8 +166,11 @@ class GatedDeConv(nn.Module):
     def _body(self, x, train: bool):
         # F.interpolate default mode is 'nearest' (reference :125)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        # bias=True: GatedProjDeConv2dWithActivation passes its bias=True
+        # default into the inner gated conv (reference :118-120)
         return GatedConv(
-            self.features, self.kernel_size, projected=self.projected
+            self.features, self.kernel_size, projected=self.projected,
+            use_bias=True,
         )(x, train)
 
 
@@ -320,7 +340,10 @@ class InpaintSADiscriminator(nn.Module):
         c = 32
         tower = _ProjConv if self.projected else _Conv
         for f in (2 * c, 4 * c, 8 * c, 8 * c, 8 * c):
-            kwargs = dict(features=f, kernel_size=5, stride=2, spectral_norm=True)
+            # reference SNProjConvWithActivation/SNConvWithActivation default
+            # bias=True (:250, :268) — unlike the generator's gated towers
+            kwargs = dict(features=f, kernel_size=5, stride=2,
+                          use_bias=True, spectral_norm=True)
             x = tower(**kwargs)(x, update_stats=train)
             x = nn.leaky_relu(x, negative_slope=0.2)
         return x.reshape(x.shape[0], -1)

@@ -51,9 +51,12 @@ class _Up(nn.Module):
         inter = max(x.shape[-1] // self.proj_ratio, 1)
         x = ConvBlock(inter, kernel_size=1, padding=0, use_bn=True)(x, train)
         x = ConvBlock(inter, kernel_size=3, use_bn=True)(x, train)
+        # activation=False drops BN AND LeakyReLU but the conv stays
+        # bias-free like every conv in the reference block
+        # (image_inpainting_net.py:41-43: conv bias=False, BN→Identity)
         x = ConvBlock(
             self.features, kernel_size=1, padding=0,
-            use_bn=self.activation, act=self.activation,
+            use_bn=self.activation, act=self.activation, use_bias=False,
         )(x, train)
         return x
 

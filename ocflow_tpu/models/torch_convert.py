@@ -279,6 +279,247 @@ def convert_simpleflownet(state_dict: Mapping[str, object]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _proj_block3(sd: _Consumer, prefix: str, last_bn: bool = True) -> tuple[dict, dict]:
+    """Three conv(bias=False)+BN(+LeakyReLU) stages of the proj-bottleneck
+    Down/Upsample blocks (image_inpainting_net.py:5-57,
+    simple_occlusion_net.py:6-59) → ConvBlock_0..2. ``last_bn=False`` is the
+    InpaintingNet up6 head whose bn3/lrelu3 are Identity (:42-43)."""
+    params, stats = {}, {}
+    for j in range(3):
+        blk = {"Conv_0": _conv(sd, f"{prefix}.conv{j + 1}", bias=False)}
+        if j < 2 or last_bn:
+            bn_p, bn_s = _bn(sd, f"{prefix}.bn{j + 1}")
+            blk["BatchNorm_0"] = bn_p
+            stats[f"ConvBlock_{j}"] = {"BatchNorm_0": bn_s}
+        params[f"ConvBlock_{j}"] = blk
+    return params, stats
+
+
+def convert_inpainting_net(state_dict: Mapping[str, object]) -> dict:
+    """Reference InpaintingNet (image_inpainting_net.py:58-103) → flax
+    variables for ``ocflow_tpu.models.InpaintingNet``."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for i in range(6):
+        p, s = _proj_block3(sd, f"down{i + 1}")
+        params[f"_Down_{i}"], stats[f"_Down_{i}"] = p, s
+    for i in range(6):
+        p, s = _proj_block3(sd, f"up{i + 1}", last_bn=i < 5)
+        params[f"_Up_{i}"], stats[f"_Up_{i}"] = p, s
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def _occ_stack(sd: _Consumer, name: str) -> dict:
+    """predict_occ(...) Sequential (simple_occlusion_net.py:130-136):
+    conv(·,32) → conv(32,16) → conv(16,1) → PredictOccStack params."""
+    return {
+        "ConvBlock_0": {"Conv_0": _conv(sd, f"{name}.0.0")},
+        "ConvBlock_1": {"Conv_0": _conv(sd, f"{name}.1.0")},
+        "Conv_0": _conv(sd, f"{name}.2.0"),
+    }
+
+
+def convert_simple_occlusion_net(state_dict: Mapping[str, object]) -> dict:
+    """Reference SimpleOcclusionNet (simple_occlusion_net.py:60-128) → flax
+    variables for ``ocflow_tpu.models.SimpleOcclusionNet``. This is also the
+    splice path for the reference's trained two-stage checkpoints
+    (model.py:948-954 loads ``occ_pred`` from a Lightning checkpoint)."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for i in range(5):
+        p, s = _proj_block3(sd, f"down{i + 1}")
+        params[f"ProjDown_{i}"], stats[f"ProjDown_{i}"] = p, s
+    for i in range(5):
+        p, s = _proj_block3(sd, f"up{i + 1}")
+        params[f"ProjUp_{i}"], stats[f"ProjUp_{i}"] = p, s
+    # creation order: PredictOccStack_0..5 ↔ predict_occ5..1,0 (decoder order)
+    for i, k in enumerate((5, 4, 3, 2, 1, 0)):
+        params[f"PredictOccStack_{i}"] = _occ_stack(sd, f"predict_occ{k}")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_occlusion_net_s(state_dict: Mapping[str, object], use_bn: bool = True) -> dict:
+    """Reference OcclusionNetS (occlusion_net_s.py:10-89) → flax variables
+    for ``ocflow_tpu.models.OcclusionNetS``."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    enc_p, enc_s = {}, {}
+    convs = ["conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+             "conv5", "conv5_1", "conv6", "conv6_1"]
+    for i, n in enumerate(convs):
+        blk = {"Conv_0": _conv(sd, f"{n}.0", bias=not use_bn)}
+        if use_bn:
+            bn_p, bn_s = _bn(sd, f"{n}.1")
+            blk["BatchNorm_0"] = bn_p
+            enc_s[f"ConvBlock_{i}"] = {"BatchNorm_0": bn_s}
+        enc_p[f"ConvBlock_{i}"] = blk
+    params["_FNetSEncoder_0"] = enc_p
+    if use_bn:
+        stats["_FNetSEncoder_0"] = enc_s
+
+    # creation order per level: PredictOcc_i, Deconv(occ up, bias=False),
+    # Deconv(features) — occlusion_net_s.py:69-89
+    ups = ["upsampled_occ6_to_5", "upsampled_occ5_to_4",
+           "upsampled_occ4_to_3", "upsampled_occ3_to_2"]
+    decs = ["deconv5", "deconv4", "deconv3", "deconv2"]
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        params[f"PredictOcc_{i}"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
+        if lvl > 2:
+            params[f"Deconv_{2 * i}"] = {
+                "ConvTranspose_0": _deconv(sd, ups[i], bias=False)
+            }
+            params[f"Deconv_{2 * i + 1}"] = {
+                "ConvTranspose_0": _deconv(sd, f"{decs[i]}.0")
+            }
+
+    sd.finish()
+    out = {"params": params}
+    if use_bn:
+        out["batch_stats"] = stats
+    return out
+
+
+def _sn_conv(sd: _Consumer, name: str, bias: bool = True) -> tuple[dict, dict]:
+    """A torch ``nn.utils.spectral_norm``-wrapped Conv2d → (flax Conv params,
+    flax SpectralNorm batch_stats). The torch ``weight_u`` (size O) maps onto
+    flax's ``u`` (1, O): both reshape the kernel to a (·, O)-column matrix
+    whose row ordering differs only by a permutation, which leaves every
+    power-iteration quantity (v-norms, u-updates, sigma) identical — so one
+    torch train-mode forward == one flax ``update_stats=True`` forward,
+    exactly (proven in tests/test_parity_networks.py)."""
+    kernel = _conv_kernel(sd.take(f"{name}.weight_orig"))
+    u = _np(sd.take(f"{name}.weight_u")).reshape(1, -1).astype(np.float32)
+    # weight_v is torch's cached right vector; both frameworks recompute v
+    # from u before use in train mode, so it carries no information here.
+    sd.take(f"{name}.weight_v")
+    p = {"kernel": kernel}
+    if bias:
+        p["bias"] = _np(sd.take(f"{name}.bias"))
+    st = {"Conv_0/kernel/u": u, "Conv_0/kernel/sigma": np.float32(1.0)}
+    return {"Conv_0": p}, {"SpectralNorm_0": st}
+
+
+def _gated_tower(sd: _Consumer, prefix: str, bias: bool = False) -> dict:
+    """Conv2dWithProj (gated_conv_inpainting_net.py:20-36) → _ProjConv
+    params. ``bias=True`` only inside the gated deconvs (:118)."""
+    return {
+        f"_Conv_{j}": {"Conv_0": _conv(sd, f"{prefix}.conv{j + 1}", bias=bias)}
+        for j in range(3)
+    }
+
+
+def _gated_block(
+    sd: _Consumer, prefix: str, projected: bool, proj_bias: bool = False
+) -> tuple[dict, dict]:
+    """GatedProjConv2dWithActivation (:38-74) / GatedConv2dWithActivation
+    (:76-109) → GatedConv params+stats. Note the torch BN attribute is
+    ``batch_norm`` (proj) vs ``batch_norm2d`` (plain)."""
+    if projected:
+        p = {
+            "_ProjConv_0": _gated_tower(sd, f"{prefix}.conv2d", proj_bias),
+            "_ProjConv_1": _gated_tower(sd, f"{prefix}.mask_conv2d", proj_bias),
+        }
+        bn_p, bn_s = _bn(sd, f"{prefix}.batch_norm")
+    else:
+        p = {
+            "_Conv_0": {"Conv_0": _conv(sd, f"{prefix}.conv2d")},
+            "_Conv_1": {"Conv_0": _conv(sd, f"{prefix}.mask_conv2d")},
+        }
+        bn_p, bn_s = _bn(sd, f"{prefix}.batch_norm2d")
+    p["BatchNorm_0"] = bn_p
+    return p, {"BatchNorm_0": bn_s}
+
+
+def _gated_trunk(
+    sd: _Consumer, prefix: str, n: int, deconv_at: tuple[int, ...], projected: bool
+) -> tuple[dict, dict]:
+    """An nn.Sequential of gated (de)convs → trunk params/stats. Sequential
+    index i is a GatedDeConv iff ``i in deconv_at`` (its gated conv lives at
+    ``{prefix}.{i}.conv2d`` — the deconv wraps a gated conv, :111-144)."""
+    params, stats = {}, {}
+    gc = gd = 0
+    for i in range(n):
+        if i in deconv_at:
+            # the deconv's inner gated conv gets bias=True even when
+            # projected (GatedProjDeConv2dWithActivation default, :118)
+            p, s = _gated_block(sd, f"{prefix}.{i}.conv2d", projected,
+                                proj_bias=True)
+            params[f"GatedDeConv_{gd}"] = {"GatedConv_0": p}
+            stats[f"GatedDeConv_{gd}"] = {"GatedConv_0": s}
+            gd += 1
+        else:
+            p, s = _gated_block(sd, f"{prefix}.{i}", projected)
+            params[f"GatedConv_{gc}"] = p
+            stats[f"GatedConv_{gc}"] = s
+            gc += 1
+    return params, stats
+
+
+def _self_attn(sd: _Consumer, prefix: str) -> dict:
+    """Self_Attn (:284-317) → SelfAttention params (query/key/value 1x1
+    convs + gamma)."""
+    return {
+        "Conv_0": _conv(sd, f"{prefix}.query_conv"),
+        "Conv_1": _conv(sd, f"{prefix}.key_conv"),
+        "Conv_2": _conv(sd, f"{prefix}.value_conv"),
+        "gamma": _np(sd.take(f"{prefix}.gamma")),
+    }
+
+
+def convert_inpaint_sanet(
+    state_dict: Mapping[str, object], projected: bool = True
+) -> dict:
+    """Reference InpaintSANet (:319-407, projected) / InpaintSANetOrg
+    (:430-514, plain) → flax variables for ``ocflow_tpu.models.InpaintSANet``
+    / ``InpaintSANetOrg``. This is the splice path for the reference's
+    two-stage pipelines, which load a *trained torch* generator
+    (model.py:1133-1135 ``InpaintingStageModel.load_from_checkpoint``)."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for key, tp, n, dec in (
+        ("_GeneratorTrunk_0", "coarse_net", 17, (12, 14)),
+        ("_RefineTrunk_0", "refine_conv_net", 11, ()),
+        ("_RefineUpsample_0", "refine_upsample_net", 7, (2, 4)),
+    ):
+        p, s = _gated_trunk(sd, tp, n, dec, projected)
+        params[key], stats[key] = p, s
+    params["SelfAttention_0"] = _self_attn(sd, "refine_attn")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_inpaint_discriminator(
+    state_dict: Mapping[str, object], projected: bool = True
+) -> dict:
+    """Reference InpaintSADiscriminator (:409-428, projected) /
+    InpaintSADiscriminatorOrg (:516-537, plain) → flax variables for
+    ``ocflow_tpu.models.InpaintSADiscriminator(Org)``. Spectral-norm ``u``
+    vectors transfer exactly (see ``_sn_conv``)."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for i in range(5):
+        prefix = f"discriminator_net.{i}.conv2d"
+        if projected:
+            tp, ts = {}, {}
+            for j in range(3):
+                cp, cs = _sn_conv(sd, f"{prefix}.conv{j + 1}")
+                tp[f"_Conv_{j}"], ts[f"_Conv_{j}"] = cp, cs
+            params[f"_ProjConv_{i}"], stats[f"_ProjConv_{i}"] = tp, ts
+        else:
+            cp, cs = _sn_conv(sd, prefix)
+            params[f"_Conv_{i}"], stats[f"_Conv_{i}"] = cp, cs
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
 def variables_to_npz(variables: dict, out_path: str) -> None:
     """Flatten a flax variables tree to '/'-joined keys and save as npz."""
     flat: dict[str, np.ndarray] = {}
@@ -319,8 +560,14 @@ def convert_checkpoint(path: str, network: str, out_path: str) -> None:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # Lightning attribute prefixes: flow_pred (flow models, model.py:173-185),
+    # generator/discriminator (inpainting stages, :531-545), occ_pred
+    # (two-stage, :948-954).
     sd = {
-        k.split(".", 1)[1] if k.startswith(("model.", "flow_pred.")) else k: v
+        k.split(".", 1)[1]
+        if k.startswith(("model.", "flow_pred.", "generator.",
+                         "discriminator.", "occ_pred."))
+        else k: v
         for k, v in sd.items()
     }
     conv = {
@@ -329,5 +576,13 @@ def convert_checkpoint(path: str, network: str, out_path: str) -> None:
         "pwcnet": convert_pwcnet,
         "flownets": convert_flownets,
         "simple": convert_simpleflownet,
+        "inpainting": convert_inpainting_net,
+        "simple_occ": convert_simple_occlusion_net,
+        "occ_s": convert_occlusion_net_s,
+        "sanet": convert_inpaint_sanet,
+        "sanet_org": lambda sd: convert_inpaint_sanet(sd, projected=False),
+        "sa_discriminator": convert_inpaint_discriminator,
+        "sa_discriminator_org": lambda sd: convert_inpaint_discriminator(
+            sd, projected=False),
     }[network]
     variables_to_npz(conv(sd), out_path)

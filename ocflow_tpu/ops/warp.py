@@ -249,15 +249,27 @@ def warp(
 
     Returns:
         warped image [B, H, W, C] (and optionally the validity mask).
+
+    ``flow`` may also be a tuple ``(u, v)`` of [B, H, W] planes — the form
+    the fused PWC decode produces for free from its flat channel-major
+    ``[B, 2, H*W]`` up-flow (the minor dim is already row-major H·W, so the
+    planes are reshape-slices, no transpose). Semantically identical to
+    stacking them into [B, H, W, 2].
     """
     _, h, w, _ = img.shape
     # Coordinate math in float32 ALWAYS: bf16 flows would quantize sampling
     # positions to the bf16 grid (1 px spacing past x=256, 4 px past 1024).
     # The gather + interpolation stay in img.dtype (the gather is ~2x
     # faster on bf16 data); only the coordinates/weights are exact.
-    coords = flow_to_warp(flow.astype(jnp.float32))
-    x = coords[..., 0]
-    y = coords[..., 1]
+    if isinstance(flow, (tuple, list)):
+        u, v = flow
+        xx, yy = mesh_grid(h, w, dtype=jnp.float32)
+        x = u.astype(jnp.float32) + xx[None]
+        y = v.astype(jnp.float32) + yy[None]
+    else:
+        coords = flow_to_warp(flow.astype(jnp.float32))
+        x = coords[..., 0]
+        y = coords[..., 1]
     if not align_corners:
         # x_norm = 2 x / (W-1) - 1; x_pix = ((x_norm + 1) * W - 1) / 2
         x = x * (w / max(w - 1, 1)) - 0.5

@@ -193,3 +193,211 @@ def test_converter_npz_round_trip(tmp_path, image_pair):
     with torch.no_grad():
         t_full, _ = ref(_to_nchw(image_pair))
     assert np.abs(np.asarray(j_full) - _from_nchw(t_full)).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Inpainting + occlusion families (round-4: the largest env-unblocked
+# correctness exposure — gated towers, get_pad semantics, Self_Attn softmax
+# orientation, SN power iteration; reference
+# gated_conv_inpainting_net.py / image_inpainting_net.py /
+# simple_occlusion_net.py / occlusion_net_s.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def img_mask():
+    rng = np.random.default_rng(11)
+    imgs = rng.uniform(-1, 1, (2, 64, 128, 3)).astype(np.float32)
+    masks = (rng.uniform(size=(2, 64, 128, 1)) > 0.75).astype(np.float32)
+    return imgs, masks
+
+
+def _warm_batchnorm2(ref, make_inputs, steps=3):
+    """_warm_batchnorm for modules with (imgs, masks)-style signatures."""
+    g = torch.Generator().manual_seed(7)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(steps):
+            ref(*make_inputs(g))
+    ref.eval()
+
+
+@pytest.mark.slow
+def test_inpainting_net_parity(img_mask):
+    from models.networks.image_inpainting_net import InpaintingNet as TorchNet
+
+    torch.manual_seed(0)
+    ref = TorchNet()
+    _warm_batchnorm2(ref, lambda g: (
+        torch.rand((2, 3, 64, 128), generator=g) * 2 - 1,
+        (torch.rand((2, 1, 64, 128), generator=g) > 0.75).float(),
+    ))
+
+    imgs, masks = img_mask
+    variables = torch_convert.convert_inpainting_net(ref.state_dict())
+    net = models.InpaintingNet()
+    template = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(imgs[:1]), jnp.asarray(masks[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_out = ref(_to_nchw(imgs), _to_nchw(masks))
+    j_out = net.apply(variables, jnp.asarray(imgs), jnp.asarray(masks))
+    err = np.abs(np.asarray(j_out) - _from_nchw(t_out)).max()
+    assert err < 1e-4, err
+
+
+@pytest.mark.slow
+def test_simple_occlusion_net_parity(image_pair):
+    from models.networks.simple_occlusion_net import (
+        SimpleOcclusionNet as TorchNet,
+    )
+
+    torch.manual_seed(0)
+    ref = TorchNet()
+    _warm_batchnorm(ref, (6, 64, 128))
+
+    variables = torch_convert.convert_simple_occlusion_net(ref.state_dict())
+    net = models.SimpleOcclusionNet()
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_occ = ref(_to_nchw(image_pair))
+    j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
+    err = np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max()
+    assert err < 1e-4, err
+
+
+@pytest.mark.slow
+def test_occlusion_net_s_parity(image_pair):
+    from models.networks.occlusion_net_s import OcclusionNetS as TorchNet
+
+    torch.manual_seed(0)
+    ref = TorchNet(input_channels=6, batchNorm=True)
+    _warm_batchnorm(ref, (6, 64, 128))
+
+    variables = torch_convert.convert_occlusion_net_s(ref.state_dict())
+    net = models.OcclusionNetS(use_bn=True)
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_occ = ref(_to_nchw(image_pair))
+    j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
+    err = np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max()
+    assert err < 1e-4, err
+
+
+def test_self_attn_parity():
+    from models.networks.gated_conv_inpainting_net import Self_Attn
+
+    torch.manual_seed(3)
+    ref = Self_Attn(32)
+    ref.gamma.data.fill_(0.5)  # zero-init gamma would mask attention errors
+    ref.eval()
+
+    sd = torch_convert._Consumer(
+        {f"attn.{k}": v for k, v in ref.state_dict().items()})
+    params = torch_convert._self_attn(sd, "attn")
+    sd.finish()
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 8, 16, 32)).astype(np.float32)
+    from ocflow_tpu.models.gated_conv import SelfAttention
+
+    with torch.no_grad():
+        t_out = ref(_to_nchw(x))
+    j_out = SelfAttention().apply({"params": params}, jnp.asarray(x))
+    err = np.abs(np.asarray(j_out) - _from_nchw(t_out)).max()
+    assert err < 1e-4, err
+
+
+def _sanet_parity(projected, img_mask):
+    from models.networks.gated_conv_inpainting_net import (
+        InpaintSANet as TorchSA,
+        InpaintSANetOrg as TorchSAOrg,
+    )
+
+    torch.manual_seed(0)
+    ref = (TorchSA if projected else TorchSAOrg)(img_size=(64, 128))
+    ref.refine_attn.gamma.data.fill_(0.7)  # make attention parity observable
+    _warm_batchnorm2(ref, lambda g: (
+        torch.rand((2, 3, 64, 128), generator=g) * 2 - 1,
+        (torch.rand((2, 1, 64, 128), generator=g) > 0.75).float(),
+    ))
+
+    imgs, masks = img_mask
+    variables = torch_convert.convert_inpaint_sanet(
+        ref.state_dict(), projected=projected)
+    net = (models.InpaintSANet if projected else models.InpaintSANetOrg)()
+    template = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(imgs[:1]), jnp.asarray(masks[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_coarse, t_ref = ref(_to_nchw(imgs), _to_nchw(masks))
+    j_coarse, j_ref = net.apply(
+        variables, jnp.asarray(imgs), jnp.asarray(masks), train=False)
+    errs = (
+        np.abs(np.asarray(j_coarse) - _from_nchw(t_coarse)).max(),
+        np.abs(np.asarray(j_ref) - _from_nchw(t_ref)).max(),
+    )
+    # refined output crosses ~29 gated double-towers + softmax attention;
+    # fp32 accumulation noise reaches a few 1e-4 on the projected variant
+    assert errs[0] < 1e-4 and errs[1] < 1e-3, errs
+
+
+@pytest.mark.slow
+def test_inpaint_sanet_parity(img_mask):
+    _sanet_parity(True, img_mask)
+
+
+@pytest.mark.slow
+def test_inpaint_sanet_org_parity(img_mask):
+    _sanet_parity(False, img_mask)
+
+
+@pytest.mark.parametrize("projected", [True, False])
+def test_inpaint_discriminator_parity(projected):
+    """Spectral-norm parity: with torch's u copied into batch_stats, one
+    torch train-mode forward must equal one flax update_stats=True forward
+    EXACTLY (same power iteration, same sigma), and the updated u vectors
+    must coincide so the equality persists across steps."""
+    from models.networks.gated_conv_inpainting_net import (
+        InpaintSADiscriminator as TorchD,
+        InpaintSADiscriminatorOrg as TorchDOrg,
+    )
+
+    torch.manual_seed(0)
+    ref = (TorchD if projected else TorchDOrg)(img_size=(64, 128))
+    ref.train()
+
+    variables = torch_convert.convert_inpaint_discriminator(
+        ref.state_dict(), projected=projected)
+    net = (
+        models.InpaintSADiscriminator
+        if projected
+        else models.InpaintSADiscriminatorOrg
+    )()
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(2, 64, 128, 4)).astype(np.float32)
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    _assert_tree_matches(template, variables)
+
+    # Compare pre-flatten critic maps: the torch forward flattens NCHW and
+    # ours NHWC (a permutation — equivalent under the mean-based SN-PatchGAN
+    # losses; the reference's own .view also crashes on its non-contiguous
+    # output here, so the Sequential is driven directly).
+    for step in range(2):
+        with torch.no_grad():
+            t_feat = ref.discriminator_net(_to_nchw(x))
+        j_out, updates = net.apply(
+            variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": updates["batch_stats"]}
+        b, c, h, w = t_feat.shape
+        j_feat = np.asarray(j_out).reshape(b, h, w, c)
+        err = np.abs(j_feat - _from_nchw(t_feat)).max()
+        scale = np.abs(np.asarray(t_feat.detach())).max() + 1e-8
+        assert err / scale < 1e-4, (step, err, scale)

@@ -39,6 +39,28 @@ def test_supervised_flow_loss_decreases(rng):
     assert last < first * 0.9, (first, last)
 
 
+@pytest.mark.slow
+def test_supervised_flow_occ_loss_decreases(rng):
+    """FlowOccModel regime (reference flow_occ_model.py:48-55): joint
+    L1(flow) + BCE(occ) on a net that returns (flow, occ)."""
+    net = models.SimpleFlowOccNet()
+    batch = synthetic_batch(rng)
+    occ = np.zeros(batch["flow"].shape[:3] + (1,), np.float32)
+    occ[:, :, -2:] = 1.0  # right edge leaves the frame under u=+shift
+    batch["occ"] = jnp.asarray(occ)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), batch["images"], optax.adam(1e-3)
+    )
+    train_step, eval_step = steps.make_supervised_flow_occ_step()
+    first = eval_step(state, batch)
+    for _ in range(15):
+        state, metrics = train_step(state, batch)
+    last = eval_step(state, batch)
+    for k in ("loss", "flow_loss", "occ_loss"):
+        assert np.isfinite(float(first[k])) and np.isfinite(float(last[k])), k
+    assert float(last["loss"]) < float(first["loss"]) * 0.9, (first, last)
+
+
 def test_unsupervised_flow_step_runs(rng):
     net = models.SimpleFlowNet()
     batch = synthetic_batch(rng)
