@@ -31,7 +31,7 @@ def main():
     from ocflow_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    ITERS = 100
+    ITERS = 400
     M = N = K = 2048
     flops = 2 * M * N * K * ITERS
 
@@ -43,11 +43,12 @@ def main():
 
     def timed(fn, arg):
         fn(arg)  # compile + warm
+        fetch = jax.jit(lambda c: jnp.sum(c).astype(jnp.float32) + 1)
+        float(fetch(arg))  # warm the fetch program too
         t_f = []
-        fetch = jax.jit(lambda c: c + 1)
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fetch(jnp.int32(0)))
+            float(fetch(arg))
             t_f.append(time.perf_counter() - t0)
         rtt = float(np.median(t_f))
         ts = []
@@ -59,33 +60,33 @@ def main():
 
     def report(tag, t):
         print(f"{tag:<44} {t * 1e3 / ITERS:8.3f} ms/it "
-              f"{flops / t / ITERS / 1e12:7.1f} TOP/s", flush=True)
+              f"{flops / t / 1e12:7.1f} TOP/s", flush=True)
 
-    # ---- XLA dot_general ----
-    def xla_int8(c0):
-        def step(c, _):
-            a = a8 + (c & 1).astype(jnp.int8)  # carry-dependent, cheap
+    # Chain the GEMM OUTPUT MATRIX into the next iteration's input: a scalar
+    # sum carry lets XLA algebraically collapse sum(A@B) into
+    # rowsum(A)·colsum(B) and the GEMM vanishes (the round-4 first-cut
+    # harness measured an impossible 1.5 PFLOP/s this way). A full-matrix
+    # data dependency forces every output element to exist.
+    def xla_int8(a0):
+        def step(a, _):
             g = jax.lax.dot_general(
                 a, b8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            return jnp.sum(g), None  # consume EVERY row
-        out, _ = jax.lax.scan(step, c0, None, length=ITERS)
-        return out
+            return a8 + (g & 1).astype(jnp.int8), None
+        out, _ = jax.lax.scan(step, a0, None, length=ITERS)
+        return jnp.sum(out.astype(jnp.int32))
 
-    def xla_bf16(c0):
-        def step(c, _):
-            a = abf + c.astype(jnp.bfloat16) * 1e-6
+    def xla_bf16(a0):
+        def step(a, _):
             g = jax.lax.dot_general(
                 a, bbf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return jnp.sum(g), None
-        out, _ = jax.lax.scan(step, c0, None, length=ITERS)
-        return out
+            return abf + g.astype(jnp.bfloat16) * jnp.bfloat16(1e-12), None
+        out, _ = jax.lax.scan(step, a0, None, length=ITERS)
+        return jnp.sum(out.astype(jnp.float32))
 
-    report("xla bf16 2048^3 (control)",
-           timed(jax.jit(xla_bf16), jnp.float32(0)))
-    report("xla int8->int32 2048^3",
-           timed(jax.jit(xla_int8), jnp.int32(0)))
+    report("xla bf16 2048^3 (control)", timed(jax.jit(xla_bf16), abf))
+    report("xla int8->int32 2048^3", timed(jax.jit(xla_int8), a8))
 
     # ---- Pallas kernel, full-K blocks ----
     def make_pallas(bm, bn, in_dtype, acc_dtype):
@@ -105,33 +106,33 @@ def main():
             out_shape=jax.ShapeDtypeStruct((M, N), acc_dtype),
         )
 
-    for bm, bn in ((512, 512), (256, 1024), (1024, 1024)):
+    for bm, bn in ((512, 512), (256, 1024), (256, 512), (512, 1024)):
         gemm8 = make_pallas(bm, bn, jnp.int8, jnp.int32)
         gemmb = make_pallas(bm, bn, jnp.bfloat16, jnp.float32)
 
-        def pl_int8(c0, gemm8=gemm8):
-            def step(c, _):
-                a = a8 + (c & 1).astype(jnp.int8)
-                return jnp.sum(gemm8(a, b8)), None
-            out, _ = jax.lax.scan(step, c0, None, length=ITERS)
-            return out
+        def pl_int8(a0, gemm8=gemm8):
+            def step(a, _):
+                g = gemm8(a, b8)
+                return a8 + (g & 1).astype(jnp.int8), None
+            out, _ = jax.lax.scan(step, a0, None, length=ITERS)
+            return jnp.sum(out.astype(jnp.int32))
 
-        def pl_bf16(c0, gemmb=gemmb):
-            def step(c, _):
-                a = abf + c.astype(jnp.bfloat16) * 1e-6
-                return jnp.sum(gemmb(a, bbf)), None
-            out, _ = jax.lax.scan(step, c0, None, length=ITERS)
-            return out
+        def pl_bf16(a0, gemmb=gemmb):
+            def step(a, _):
+                g = gemmb(a, bbf)
+                return abf + g.astype(jnp.bfloat16) * jnp.bfloat16(1e-12), None
+            out, _ = jax.lax.scan(step, a0, None, length=ITERS)
+            return jnp.sum(out.astype(jnp.float32))
 
         try:
             report(f"pallas bf16 bm={bm} bn={bn}",
-                   timed(jax.jit(pl_bf16), jnp.float32(0)))
+                   timed(jax.jit(pl_bf16), abf))
         except Exception as e:  # noqa: BLE001
             print(f"pallas bf16 bm={bm} bn={bn}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
         try:
             report(f"pallas int8 bm={bm} bn={bn}",
-                   timed(jax.jit(pl_int8), jnp.int32(0)))
+                   timed(jax.jit(pl_int8), a8))
         except Exception as e:  # noqa: BLE001
             print(f"pallas int8 bm={bm} bn={bn}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
