@@ -43,9 +43,17 @@ def main():
 
     # the fused-Pallas inference path (tested against net.apply in
     # tests/test_pwc_fast.py) needs W/4 % 128 == 0; fall back to the flax
-    # forward on the CPU smoke shape
+    # forward on the CPU smoke shape. BENCH_Q8=1 routes the L2 dense block
+    # through the W8A8 int8 kernel (scales calibrated on the bench batch;
+    # accuracy bound in tests/test_pwc_fast.py::test_fast_apply_q8_close_
+    # to_bf16 and PERF.md round-4).
+    q8 = None
+    if on_tpu and os.environ.get("BENCH_Q8"):
+        from ocflow_tpu.models.pwc_fast import calibrate_q8
+
+        q8 = jax.jit(calibrate_q8)(variables, x)
     if on_tpu:
-        apply_fn = lambda v, a: fast_apply(v, a)  # noqa: E731
+        apply_fn = lambda v, a: fast_apply(v, a, q8=q8)  # noqa: E731
     else:
         apply_fn = lambda v, a: net.apply(v, a)  # noqa: E731
 

@@ -29,9 +29,11 @@ from ocflow_tpu.ops.pallas.conv_chain_kernel import (
     ConvSpec,
     conv_group,
     conv_group_diff,
+    conv_group_q8,
     flat_to_nhwc,
     nhwc_to_flat,
     pack_lanes,
+    quantize_q8,
     unpack_lanes,
 )
 from ocflow_tpu.ops.pallas.cost_volume_kernel import (
@@ -340,12 +342,110 @@ def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
     return flow, parts, None, None
 
 
+def _fused_level2_q8(dec_params, ctx_params, xf, xf_shape, q8,
+                     th=56, interpret=False):
+    """W8A8 variant of the L2 fused block: the 5 growth convs run int8
+    through ``conv_group_q8`` (v5e int8 MXU ≈ 2x bf16, PERF.md round-4
+    spike); the flow head + context conv 1 run the same int8 GEMMs but
+    emit bf16. The dilated context chain + tail stay on the bf16 path.
+
+    ``q8``: scales from :func:`calibrate_q8` — {'in': s, 'growth': [s]*5}.
+    """
+    b, h, w, c0 = xf_shape
+    block_ch = [c0] + list(_GROWTH)
+    weights, biases, specs, scales = [], [], [], []
+    for j, g in enumerate(_GROWTH):
+        cb = dec_params[f"ConvBlock_{j}"]["Conv_0"]
+        weights.append(_split_newest_first(cb["kernel"], block_ch[: j + 1]))
+        biases.append(cb["bias"])
+        specs.append(ConvSpec(reads=tuple(range(j + 1)), cout=g, q8=True))
+        scales.append(q8["growth"][j])
+    pf = dec_params["PredictFlow_0"]["Conv_0"]
+    weights.append(_split_newest_first(pf["kernel"], block_ch))
+    biases.append(pf["bias"])
+    specs.append(ConvSpec(reads=tuple(range(6)), cout=2, act=False, emit=True))
+    scales.append(None)
+    c1p = ctx_params["ConvBlock_0"]["Conv_0"]
+    weights.append(_split_newest_first(c1p["kernel"], block_ch))
+    biases.append(c1p["bias"])
+    specs.append(ConvSpec(reads=tuple(range(6)), cout=128, emit=True))
+    scales.append(None)
+
+    xq = quantize_q8(xf, q8["in"])
+    flow_f, y = conv_group_q8(
+        xq, q8["in"], weights, biases, specs, scales, h, w,
+        th=_tile_for(h, th), interpret=interpret)
+    return flow_f, y
+
+
+def calibrate_q8(
+    variables: Any,
+    x: jax.Array,
+    displacement: int = 4,
+    warp_scales=(0.625, 1.25, 2.5, 5.0),
+    normalize: bool = True,
+    warp_align_corners: bool = False,
+):
+    """Static W8A8 calibration for the L2 fused block.
+
+    Replays the decode in plain XLA on ``x`` (a representative batch) and
+    records max-abs of the L2 decoder input and each growth conv output.
+    Returns the scales pytree ``fast_apply(..., q8=...)`` consumes — wrap
+    in jit; run once per weight set.
+    """
+    p = variables["params"]
+    im1, im2 = x[..., :3], x[..., 3:]
+    b = x.shape[0]
+    both = _encoder(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0))
+    f1 = [f[:b] for f in both]
+    f2 = [f[b:] for f in both]
+
+    c16, c26 = f1[5], f2[5]
+    if normalize:
+        c16, c26 = normalize_features([c16, c26])
+    corr = _leaky(cost_volume(c16, c26, displacement))
+    flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
+    up_flow = _deconv(flow, p["Deconv_0"])
+    up_feat = _deconv(feat, p["Deconv_1"])
+
+    xcat = None
+    for i, (lvl, scale) in enumerate(zip((4, 3, 2, 1), warp_scales)):
+        c1 = f1[lvl]
+        warped = warp(f2[lvl], up_flow * scale,
+                      align_corners=warp_align_corners)
+        c1n, wn = (c1, warped)
+        if normalize:
+            c1n, wn = normalize_features([c1n, wn])
+        corr = _leaky(cost_volume(c1n, wn, displacement))
+        xcat = jnp.concatenate([corr, c1n, up_flow, up_feat], axis=-1)
+        if lvl > 1:
+            dec = p[f"DenseDecoder_{i + 1}"]
+            flow, feat = _dense_decoder_xla(dec, xcat)
+            up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
+            up_feat = _deconv(feat, p[f"Deconv_{2 * i + 3}"])
+
+    amax = lambda t: jnp.max(jnp.abs(t.astype(jnp.float32)))
+    # the fused path zero-pads xcat to the 16-aligned stripe width; pad
+    # channels are zeros and do not move the max
+    scales = {"in": amax(xcat) / 127.0, "growth": []}
+    dec = p["DenseDecoder_4"]
+    xcur = xcat
+    for j in range(5):
+        cb = dec[f"ConvBlock_{j}"]["Conv_0"]
+        c = _conv(xcur, cb["kernel"], cb["bias"])
+        scales["growth"].append(amax(c) / 127.0)
+        xcur = jnp.concatenate([c, xcur], axis=-1)
+    return scales
+
+
 def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
-                  diff=False, xf=None, xf_shape=None):
+                  diff=False, xf=None, xf_shape=None, q8=None):
     """Fused dense decoder + flow head + context conv 1 at level 2.
 
     Returns flow2 (pre-context flow + context residual), NHWC fp32.
     ``xf``/``xf_shape``: pre-flat input, as in ``_fused_dense_decoder``.
+    ``q8``: W8A8 scales (see :func:`calibrate_q8`) — routes the dense part
+    through the int8 kernel; requires the flat path.
     """
     if xf is not None:
         assert xcat is None and not diff
@@ -413,8 +513,13 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
 
     if xf is None:
         xf = nhwc_to_flat(xcat)
-    flow_f, y = conv_group(
-        [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
+    if q8 is not None:
+        flow_f, y = _fused_level2_q8(
+            dec_params, ctx_params, xf, (b, h, w, c0), q8, th=th or 56,
+            interpret=interpret)
+    else:
+        flow_f, y = conv_group(
+            [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
     res_f = _ctx_tail_flat(_ctx_dilated(flat_to_nhwc(y, h, w, 128)))
     return flat_to_nhwc(flow_f + res_f, h, w, 2)
 
@@ -534,8 +639,13 @@ def fast_apply(
     fuse_encoder: bool = True,
     interpret: bool = False,
     diff: bool = False,
+    q8=None,
 ):
     """Drop-in fused replacement for ``FlowNetCV().apply(variables, x)``.
+
+    ``q8``: optional W8A8 scales from :func:`calibrate_q8` — runs the L2
+    dense block through the int8 kernel (serving only; ignored under
+    ``diff``).
 
     H/4 must be divisible by ``th`` and W/4 by 128 (Sintel-padded 448x1024
     satisfies both). Returns ``(flow_full, flow_quarter)`` like the module.
@@ -558,7 +668,7 @@ def fast_apply(
     f2 = [f[b:] for f in both]
     return _fast_decode(
         p, f1, f2, displacement, warp_scales, normalize, warp_align_corners,
-        th, interpret, diff)
+        th, interpret, diff, q8=q8)
 
 
 def fast_apply_pair(
@@ -619,7 +729,7 @@ def fast_apply_pair(
 
 def _fast_decode(
     p, f1, f2, displacement, warp_scales, normalize, warp_align_corners,
-    th, interpret, diff,
+    th, interpret, diff, q8=None,
 ):
     """Coarse-to-fine decode from precomputed feature pyramids (the body of
     ``fast_apply`` below the encoder)."""
@@ -712,7 +822,8 @@ def _fast_decode(
             flow2 = _fused_level2(
                 p["DenseDecoder_4"], p["ContextNetwork_0"], xcat,
                 th=_tile_for(h_l, l2_th), interpret=interpret,
-                diff=diff, xf=xf, xf_shape=(b, h_l, w_l, c0))
+                diff=diff, xf=xf, xf_shape=(b, h_l, w_l, c0),
+                q8=q8 if (use_flat and flat_lvl) else None)
 
     flow2 = flow2.astype(jnp.float32)
     h, w = flow2.shape[1] * 4, flow2.shape[2] * 4

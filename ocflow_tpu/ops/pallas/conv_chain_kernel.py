@@ -72,6 +72,11 @@ class ConvSpec:
     # when Cin is small (16-64): the per-dy K=Cin GEMMs starve the MXU's
     # contraction dim, im2col restores K >= 128.
     im2col: bool = False
+    # W8A8 output: store this conv's output int8 in the quantized stripe
+    # (scale supplied via conv_group's ``quant``). v5e int8 MXU runs ~2x
+    # bf16 (tools/spike_int8.py: 325-371 TOP/s vs ~186). Only meaningful
+    # when the kernel runs with quant enabled; p3 (non-im2col) specs only.
+    q8: bool = False
     # stride-2 mode (im2col only, reading a stride-2 kernel INPUT): the
     # input arrives W-pair channel-packed (2*Cin channels at W/2 cols, see
     # pwc_fast._pack_w_kernel for the tap algebra) so W-stride-2 vanishes
@@ -523,6 +528,292 @@ def conv_group(
         interpret=interpret,
     )(*padded, *packed_w, *packed_b)
     return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
+# ---------------------------------------------------------------------------
+# W8A8 quantized conv group (serving path)
+# ---------------------------------------------------------------------------
+#
+# v5e's int8 MXU path runs ~2x bf16 (tools/spike_int8.py: 325-371 TOP/s vs
+# ~186 measured; 394 TOPS spec). This variant executes the p3 (per-dy GEMM)
+# conv chain with int8 operands and int32 accumulation:
+#
+# - activations live int8 in the stripe; each block has ONE static scale
+#   s_b (value = q * s_b). Per-read-block scales FOLD INTO THE WEIGHTS
+#   before per-output-channel quantization, so a K-concat GEMM over blocks
+#   with different scales is still a single int8 GEMM;
+# - the epilogue works in the OUTPUT-scale domain: acc = i32 * (wscale *
+#   s_read / s_out) + bias/s_out, LeakyReLU commutes with the positive
+#   scale, and the store is round+clip to int8 — one multiply-add per
+#   element beyond the bf16 path;
+# - dx rolls happen on the int32 partials (Mosaic rolls need 32-bit data,
+#   which the int32 accumulator provides for free);
+# - int8 VMEM tiling is (32, 128): q8 block channel counts and cout pads
+#   are 32-aligned.
+#
+# Non-q8 specs (e.g. the flow head / context conv whose outputs feed XLA)
+# still run the int8 GEMM over the quantized stripe but write bf16 straight
+# to their output windows; they must not be read by later specs.
+
+
+def _ceil32(c: int) -> int:
+    return _ceil_to(c, 32)
+
+
+def fold_quant_weights(w_list, read_scales, cout_pad, read_widths=None):
+    """Fold per-read-block activation scales into the concatenated weight,
+    then quantize per output channel. Returns (wq [3,3,K,cout_pad] int8,
+    wscale [cout_pad] f32) with W ≈ wq * wscale / s_read (per block).
+    ``read_widths``: stripe width of each read block (>= its logical cin;
+    the extra K rows are zero weights against zero-padded channels)."""
+    if read_widths is None:
+        read_widths = [w.shape[2] for w in w_list]
+    wf = jnp.concatenate(
+        [
+            jnp.pad(w.astype(jnp.float32) * s,
+                    ((0, 0), (0, 0), (0, rw - w.shape[2]), (0, 0)))
+            for w, s, rw in zip(w_list, read_scales, read_widths)
+        ],
+        axis=2)
+    cout = wf.shape[3]
+    wmax = jnp.max(jnp.abs(wf), axis=(0, 1, 2))
+    wscale = jnp.maximum(wmax, 1e-30) / 127.0
+    wq = jnp.clip(jnp.round(wf / wscale), -127, 127).astype(jnp.int8)
+    wq = jnp.pad(wq, ((0, 0), (0, 0), (0, 0), (0, cout_pad - cout)))
+    wscale = jnp.pad(wscale, (0, cout_pad - cout))
+    return wq, wscale
+
+
+def _pack_weights_q8(wq, cout_pad):
+    """[3,3,K,cout_pad] int8 -> [9*cout_pad, K] rows grouped dy-major
+    (the q8 twin of _pack_weights; K is already the folded concat)."""
+    k = wq.shape[2]
+    w = jnp.transpose(wq, (0, 1, 3, 2)).reshape(9 * cout_pad, k)
+    return w
+
+
+def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid, offs,
+                    out_ids, interpret):
+    """p3 chain over an int8 stripe. Layout mirrors _kernel_body; every
+    spec's reads are a contiguous q8 block range starting at block 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_convs = len(specs)
+    pos = 0
+    x_ref = refs[pos]; pos += 1
+    w_refs = refs[pos:pos + n_convs]; pos += n_convs
+    d_refs = refs[pos:pos + n_convs]; pos += n_convs  # dq [cout_pad, 1] f32
+    b_refs = refs[pos:pos + n_convs]; pos += n_convs  # bias/s_out [cout_pad, 1]
+    out_refs = refs[pos:pos + len(out_ids)]; pos += len(out_ids)
+    S8 = refs[pos]; pos += 1
+    sem = refs[pos]
+
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    R = th + 2 * halo
+
+    c = pltpu.make_async_copy(
+        x_ref.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
+        S8.at[pl.ds(0, offs[1]), :],
+        sem,
+    )
+    c.start()
+    c.wait()
+
+    def _zero_halo(oj, cout_pad, v):
+        if halo <= v:
+            return
+        nz = (halo - v) * w_lanes
+
+        @pl.when(t == 0)
+        def _():
+            S8[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, nz)] = jnp.zeros(
+                (cout_pad, nz), S8.dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            S8[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
+                jnp.zeros((cout_pad, nz), S8.dtype))
+
+    o_idx = 0
+    for j, spec in enumerate(specs):
+        d = spec.dilation
+        v = valid[1 + j]
+        m_rows = R - 2 * v
+        m = m_rows * w_lanes
+        cout_pad = _ceil32(spec.cout)
+        k0 = offs[spec.reads[0]]
+        K = offs[spec.reads[-1] + 1] - k0
+
+        p3 = jnp.zeros((3 * cout_pad, m), jnp.int32)
+        for dyi in range(3):
+            row0 = v + (dyi - 1) * d
+            rhs = S8[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
+            lhs = w_refs[j][pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
+            p3 += jax.lax.dot_general(
+                lhs, rhs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        acc_i = p3[cout_pad:2 * cout_pad, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_img
+        for dxi in (0, 2):
+            dx = (dxi - 1) * d
+            p = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
+            keep = (col < w_img - dx) if dx > 0 else (col >= -dx)
+            rolled = pltpu.roll(p, shift=(m - dx) % m, axis=1)
+            acc_i = acc_i + jnp.where(keep, rolled, 0)
+        acc = acc_i.astype(jnp.float32) * d_refs[j][:, :1] + b_refs[j][:, :1]
+        if spec.act:
+            acc = jnp.where(acc >= 0, acc, acc * 0.1)
+        if spec.q8:
+            q = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
+            oj = offs[1 + j]
+            S8[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, m)] = q
+            _zero_halo(oj, cout_pad, v)
+        if spec.emit:
+            # write the valid th-row window straight out in bf16 (non-q8
+            # specs never re-enter the stripe)
+            r0 = (halo - v) * w_lanes
+            out_refs[o_idx][0, :, :] = acc[
+                :out_refs[o_idx].shape[1], r0:r0 + th * w_lanes
+            ].astype(out_refs[o_idx].dtype)
+            o_idx += 1
+
+
+def conv_group_q8(
+    x_q8: jax.Array,
+    in_scale,
+    weights: Sequence[Sequence[jax.Array]],
+    biases: Sequence[jax.Array],
+    specs: Sequence[ConvSpec],
+    spec_scales: Sequence,
+    h: int,
+    w: int,
+    th: int = 16,
+    w_img: int | None = None,
+    interpret: bool = False,
+) -> list[jax.Array]:
+    """W8A8 fused conv chain (serving only).
+
+    x_q8: ONE [B, C0, H*W] int8 input (C0 a multiple of 32), holding
+        values ≈ x / in_scale.
+    spec_scales[j]: output scale for spec j (required when specs[j].q8;
+        ignored otherwise). Emitted outputs come back bf16, already
+        de-scaled. Specs must be 3x3 p3 convs with contiguous reads; a
+        non-q8 spec must be emit-only (nothing may read it).
+    """
+    specs = tuple(specs)
+    if w_img is None:
+        w_img = w
+    assert w % 128 == 0 and h % th == 0 and w % w_img == 0
+    bsz = x_q8.shape[0]
+    c0 = int(x_q8.shape[1])
+    assert c0 % 32 == 0, "pad the q8 input to a multiple of 32 channels"
+    assert x_q8.dtype == jnp.int8
+
+    valid = [0]
+    for j, s in enumerate(specs):
+        assert not s.im2col and s.stride == 1 and _is_contig(s.reads)
+        assert s.reads[0] == 0, "q8 chain reads start at the input block"
+        assert all(b == 0 or specs[b - 1].q8 for b in s.reads), (
+            "q8 GEMMs may only read quantized blocks")
+        assert s.q8 != s.emit, "q8 blocks are internal; emits are bf16"
+        valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
+    out_ids = [1 + j for j, s in enumerate(specs) if s.emit]
+    halo = max(valid[cid] for cid in out_ids)
+    assert halo <= th or h <= th
+    R = th + 2 * halo
+
+    padded = jnp.pad(
+        x_q8.reshape(bsz, c0, h, w), ((0, 0), (0, 0), (halo, halo), (0, 0))
+    ).reshape(bsz, c0, (h + 2 * halo) * w)
+
+    # stripe offsets: input + q8 blocks get 32-aligned rows; non-q8 specs
+    # occupy no stripe space (offs advance by 0)
+    block_ch = [c0] + [_ceil32(s.cout) if s.q8 else 0 for s in specs]
+    offs = [0]
+    for c in block_ch:
+        offs.append(offs[-1] + c)
+
+    block_scales = [in_scale] + [
+        spec_scales[j] if specs[j].q8 else None for j in range(len(specs))
+    ]
+    packed_w, packed_d, packed_b = [], [], []
+    for j, s in enumerate(specs):
+        cp = _ceil32(s.cout)
+        read_scales = [block_scales[bid] for bid in s.reads]
+        read_widths = [block_ch[bid] for bid in s.reads]
+        wq, wscale = fold_quant_weights(weights[j], read_scales, cp,
+                                        read_widths)
+        packed_w.append(_pack_weights_q8(wq, cp))
+        s_out = spec_scales[j] if s.q8 else 1.0
+        packed_d.append((wscale / s_out).reshape(-1, 1))
+        bias = jnp.pad(biases[j].astype(jnp.float32),
+                       (0, cp - biases[j].shape[0]))
+        packed_b.append((bias / s_out).reshape(-1, 1))
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = functools.partial(
+        _q8_kernel_body, specs=specs, th=th, halo=halo, w_lanes=w,
+        w_img=w_img, valid=tuple(valid), offs=tuple(offs),
+        out_ids=tuple(out_ids), interpret=interpret,
+    )
+    vmem = pltpu.VMEM
+    in_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=vmem)] * (3 * len(specs))
+    )
+    out_ch = [_ceil_to(specs[cid - 1].cout, 16) for cid in out_ids]
+    out_specs = [
+        pl.BlockSpec((1, ch, th * w), lambda b, t: (b, 0, t),
+                     memory_space=vmem)
+        for ch in out_ch
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, ch, h * w), jnp.bfloat16)
+        for ch in out_ch
+    ]
+    scratch = [
+        vmem((offs[-1], R * w), jnp.int8),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    flops = 0
+    for j, s in enumerate(specs):
+        mj = (R - 2 * valid[1 + j]) * w
+        k = offs[s.reads[-1] + 1] - offs[s.reads[0]]
+        flops += 2 * 9 * _ceil32(s.cout) * k * mj
+    flops *= bsz * (h // th)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(bsz, h // th),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(np.prod(padded.shape)),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(padded, *packed_w, *packed_d, *packed_b)
+    return list(outs) if isinstance(outs, (list, tuple)) else [outs]
+
+
+def quantize_q8(x: jax.Array, scale) -> jax.Array:
+    """value -> int8 code: round(clip(x / scale)) (symmetric, zero-point 0)."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127.0, 127.0
+    ).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------

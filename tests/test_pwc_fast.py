@@ -461,3 +461,79 @@ def test_fast_apply_pair_matches_two_applies():
                     jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_conv_group_q8_exact_vs_emulation():
+    """W8A8 kernel (interpret) == pure-JAX integer emulation: same fold,
+    same quantize, same int32 accumulation, same epilogue — bit-near
+    (bf16 store rounding only)."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import (
+        conv_group_q8, fold_quant_weights, quantize_q8, _ceil32)
+
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 16, 128
+    c0 = 32
+    x = jnp.asarray(rng.normal(size=(B, H, W, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 32)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    w2a = jnp.asarray(rng.normal(size=(3, 3, c0, 24)) * 0.1, jnp.float32)
+    w2b = jnp.asarray(rng.normal(size=(3, 3, 32, 24)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(24,)), jnp.float32)
+
+    s_in = jnp.float32(np.abs(np.asarray(x)).max() / 127.0)
+    s1 = jnp.float32(0.05)
+
+    specs = [ConvSpec(reads=(0,), cout=32, q8=True),
+             ConvSpec(reads=(0, 1), cout=24, emit=True)]
+    xq = quantize_q8(nhwc_to_flat(x), s_in)
+    (out,) = conv_group_q8(
+        xq, s_in, [[w1], [w2a, w2b]], [b1, b2], specs, [s1, None],
+        H, W, th=8, interpret=True)
+    got = np.asarray(flat_to_nhwc(out, H, W, 24)).astype(np.float32)
+
+    # emulation: int32 convs on the codes, identical fold/quant/epilogue
+    def iconv(codes, wq, d=1):
+        return jax.lax.conv_general_dilated(
+            codes.astype(jnp.int32), wq.astype(jnp.int32), (1, 1),
+            ((d, d), (d, d)), rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    codes0 = quantize_q8(x, s_in)  # NHWC int8 codes
+    wq1, ws1 = fold_quant_weights([w1], [s_in], _ceil32(32), [c0])
+    acc1 = iconv(codes0, wq1).astype(jnp.float32) * (ws1 / s1) + b1_pad(b1, s1)
+    acc1 = jnp.where(acc1 >= 0, acc1, acc1 * 0.1)
+    codes1 = jnp.clip(jnp.round(acc1), -127, 127).astype(jnp.int8)
+
+    wq2, ws2 = fold_quant_weights(
+        [w2a, w2b], [s_in, s1], _ceil32(24), [c0, 32])
+    acc2 = iconv(jnp.concatenate([codes0, codes1], -1), wq2)
+    ref = acc2.astype(jnp.float32) * ws2 + jnp.pad(b2, (0, _ceil32(24) - 24))
+    ref = jnp.where(ref >= 0, ref, ref * 0.1)
+    ref = np.asarray(ref[..., :24])
+
+    np.testing.assert_allclose(got, ref, atol=np.abs(ref).max() * 8e-3)
+
+
+def b1_pad(b, s):
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import _ceil32
+    return jnp.pad(b, (0, _ceil32(b.shape[0]) - b.shape[0])) / s
+
+
+@pytest.mark.slow
+def test_fast_apply_q8_close_to_bf16():
+    """calibrate_q8 + fast_apply(q8=...) stays close to the exact path:
+    quantization noise only (the L2 dense block is the only int8 part)."""
+    from ocflow_tpu.models.pwc_fast import calibrate_q8
+
+    rng = np.random.default_rng(4)
+    B, H, W = 2, 64, 512
+    net = FlowNetCV()
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    scales = calibrate_q8(variables, x)
+    exact_full, exact_q = fast_apply(variables, x, th=8, interpret=True)
+    q8_full, q8_q = fast_apply(variables, x, th=8, interpret=True, q8=scales)
+    # flow error from W8A8 on the L2 block: small relative to flow scale
+    scale = np.abs(np.asarray(exact_q)).max() + 1e-6
+    err = np.abs(np.asarray(q8_q) - np.asarray(exact_q)).max()
+    assert err / scale < 0.05, (err, scale)
