@@ -46,6 +46,11 @@ from ocflow_tpu.ops.warp import warp
 _GROWTH = (128, 128, 96, 64, 32)
 _CTX = ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
 
+# Test hook: lets the fused path (and maybe_* gates) run on the CPU mesh in
+# Pallas interpret mode, so the sharded train-step equality tests exercise
+# the REAL kernel path without TPU hardware. Never set in production.
+INTERPRET_ON_CPU = False
+
 
 def _leaky(x):
     return jnp.where(x >= 0, x, 0.1 * x)
@@ -562,7 +567,7 @@ def _fast_gate(variables: Any, x: jax.Array, mesh):
     tree, kernel-compatible shapes, mesh-divisible batch. Returns
     (usable, mesh) — mesh defaults to a 1-D all-device mesh when the
     backend is multi-device."""
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not INTERPRET_ON_CPU:
         return False, None
     if "SiameseEncoder_0" not in variables.get("params", {}):
         return False, None
@@ -598,9 +603,11 @@ def maybe_fast_apply(
     ok, mesh = _fast_gate(variables, x, mesh)
     if not ok:
         return None
+    interp = INTERPRET_ON_CPU
     if mesh is not None and mesh.size > 1:
-        return fast_apply_sharded(variables, x, mesh, axis, diff=diff, th=th)
-    return fast_apply(variables, x, diff=diff, th=th)
+        return fast_apply_sharded(
+            variables, x, mesh, axis, diff=diff, th=th, interpret=interp)
+    return fast_apply(variables, x, diff=diff, th=th, interpret=interp)
 
 
 def maybe_fast_apply_pair(
@@ -616,7 +623,8 @@ def maybe_fast_apply_pair(
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        fn = functools.partial(fast_apply_pair, diff=diff, th=th)
+        fn = functools.partial(
+            fast_apply_pair, diff=diff, th=th, interpret=INTERPRET_ON_CPU)
         sp = (P(axis), P(axis))
         return shard_map(
             fn,
@@ -625,7 +633,8 @@ def maybe_fast_apply_pair(
             out_specs=(sp, sp),
             check_vma=False,
         )(variables, x)
-    return fast_apply_pair(variables, x, diff=diff, th=th)
+    return fast_apply_pair(
+        variables, x, diff=diff, th=th, interpret=INTERPRET_ON_CPU)
 
 
 def fast_apply(

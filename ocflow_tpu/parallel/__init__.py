@@ -9,6 +9,7 @@ from ocflow_tpu.parallel.mesh import (
 from ocflow_tpu.parallel.distributed import (
     initialize,
     is_main_process,
+    global_mean_metrics,
     local_shard_info,
 )
 from ocflow_tpu.parallel.spatial import (
@@ -24,6 +25,7 @@ __all__ = [
     "shard_batch",
     "initialize",
     "is_main_process",
+    "global_mean_metrics",
     "local_shard_info",
     "halo_exchange",
     "spatial_cost_volume",

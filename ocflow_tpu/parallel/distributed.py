@@ -72,3 +72,29 @@ def is_main_process() -> bool:
 def local_shard_info() -> tuple[int, int]:
     """(shard_index, num_shards) for per-host data loading."""
     return jax.process_index(), jax.process_count()
+
+
+def global_mean_metrics(metrics: dict) -> dict:
+    """Across-process mean of a {name: float} metrics dict.
+
+    Multi-host eval loops average only their local data shard; decisions
+    made from those local means (best-checkpoint, early stopping) would
+    diverge across hosts — a divergent early stop is a cluster hang. This
+    allgathers the per-host means and returns their mean on every host
+    (mean-of-means: exact when per-host batch counts match, the case for
+    our sharded loaders; reference analog: Lightning's sync_dist reduce).
+    Single-process: identity.
+    """
+    import jax
+
+    if jax.process_count() == 1 or not metrics:
+        return dict(metrics)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(metrics)
+    vec = jnp.asarray([float(metrics[k]) for k in keys], jnp.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(vec))
+    mean = gathered.mean(axis=0)
+    return {k: float(v) for k, v in zip(keys, mean)}

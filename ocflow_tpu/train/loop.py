@@ -246,6 +246,9 @@ def fit(
         avg = {
             k: float(np.mean([m[k] for m in val_metrics])) for k in val_metrics[0]
         }
+        # multi-host: all hosts must see the same val metric or their
+        # early-stop/best-ckpt decisions diverge (cluster hang)
+        avg = parallel.global_mean_metrics(avg)
         for k, v in avg.items():
             logger.scalar(f"val_{k}", v, epoch)
         csv.row("val", global_step, epoch, avg)
@@ -279,4 +282,5 @@ def evaluate(cfg: Config, state, eval_step, loader, mesh=None, step_args=()):
         )
     if not out:
         return {}
-    return {k: float(np.mean([m[k] for m in out])) for k in out[0]}
+    local = {k: float(np.mean([m[k] for m in out])) for k in out[0]}
+    return parallel.global_mean_metrics(local)

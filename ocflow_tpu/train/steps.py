@@ -209,12 +209,15 @@ def make_unsupervised_flow_step(hparams: dict):
             cdt = resolve_dtype(hparams.get("compute_dtype"))
             pc = cast_floating(params, cdt) if cdt is not None else params
             xi = cast_floating(imgs, cdt) if cdt is not None else imgs
+            fmesh = hparams.get("_fast_mesh")  # test hook: pin the mesh
             if occ_aware:
-                pair = maybe_fast_apply_pair({"params": pc}, xi, diff=True)
+                pair = maybe_fast_apply_pair(
+                    {"params": pc}, xi, diff=True, mesh=fmesh)
                 if pair is not None:
                     out, back_pair = pair
             else:
-                out = maybe_fast_apply({"params": pc}, xi, diff=True)
+                out = maybe_fast_apply(
+                    {"params": pc}, xi, diff=True, mesh=fmesh)
         if out is not None:
             flow_pred, flow_l2 = out
             new_stats = batch_stats

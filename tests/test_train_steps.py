@@ -221,3 +221,52 @@ def test_unsupervised_photo_resolution_half(rng):
     # noise images
     assert 0.1 * outs["full"] < outs["half"] < 4.0 * outs["full"]
     assert 0.05 * outs["full"] < outs["quarter"] < 4.0 * outs["full"]
+
+
+@pytest.mark.slow
+def test_fused_both_train_step_mesh_equality(rng):
+    """VERDICT r4 #6: the full fast_forward='both' occ-aware train step
+    under a >1-device mesh == the single-device step (grads + metrics +
+    Adam update), on the REAL kernel path (interpret mode via the
+    INTERPRET_ON_CPU hook). The batch holds IDENTICAL examples so the
+    per-shard normalize_features moments (documented deviation,
+    pwc_fast.py fast_apply_sharded) coincide with the full-batch moments
+    and exact equality is the correct expectation — what's under test is
+    the shard_map replicated-params gradient psum and the metric means."""
+    from ocflow_tpu.models import pwc_fast
+    from ocflow_tpu.parallel.mesh import make_mesh
+
+    B, H, W = 2, 64, 512
+    net = models.FlowNetCV()
+    one = rng.uniform(-1, 1, (1, H, W, 6)).astype(np.float32)
+    images = jnp.asarray(np.repeat(one, B, axis=0))
+    batch = {"images": images,
+             "occ": jnp.zeros((B, H, W, 1), jnp.float32)}
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), images[:1], optax.adam(1e-4))
+    hp = {"photo_weight": 1.0, "smooth1_weight": 0.1, "occ_aware": True,
+          "occ_method": "fb_consistency", "model": "pwc",
+          "fast_forward": "both"}
+
+    mesh = make_mesh((B,), ("data",), jax.devices()[:B])
+    single = make_mesh((1,), ("data",), jax.devices()[:1])
+
+    pwc_fast.INTERPRET_ON_CPU = True
+    try:
+        step_m, _ = steps.make_unsupervised_flow_step({**hp, "_fast_mesh": mesh})
+        step_s, _ = steps.make_unsupervised_flow_step({**hp, "_fast_mesh": single})
+        st_m, metrics_m = step_m(state, batch)
+        st_s, metrics_s = step_s(state, batch)
+    finally:
+        pwc_fast.INTERPRET_ON_CPU = False
+
+    for k in metrics_s:
+        np.testing.assert_allclose(
+            float(metrics_m[k]), float(metrics_s[k]), rtol=2e-4, atol=1e-6,
+            err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(st_m.params),
+                    jax.tree_util.tree_leaves(st_s.params)):
+        # atol covers Adam's amplification of f32 reduction-order noise on
+        # near-zero grads (observed: 1 elem / 650k at 1.3e-4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-4)
