@@ -225,7 +225,20 @@ class DeviceCacheLoader(DataLoader):
                     break
                 # eval semantics: keep the ragged batch
             ci = jnp.asarray(np.asarray(chunk, np.int32))
-            yield {k: jnp.take(v, ci, axis=0) for k, v in self._arrays.items()}
+            # Serve floating batches as fp32 program inputs (on-device cast;
+            # the cache itself stays cache_dtype in HBM). Round-4 measured
+            # worker regression: the occ-aware train step faults the TPU
+            # worker when its IMAGE input arrays are bf16, while the
+            # identical program with fp32 inputs (internally cast to bf16
+            # by the step, same math) runs fine — the fp32 serve restores
+            # the round-3 behavior at the cost of one cast per batch.
+            out = {}
+            for k, v in self._arrays.items():
+                t = jnp.take(v, ci, axis=0)
+                if jnp.issubdtype(t.dtype, jnp.floating):
+                    t = t.astype(jnp.float32)
+                out[k] = t
+            yield out
 
 
 def prefetch(iterator, size: int = 2):

@@ -901,18 +901,27 @@ def _diff_bwd(specs, h, w, th, w_img, interpret, res, gouts):
     def block_val(bid):
         return inputs[bid] if bid < n_inputs else acts[bid - n_inputs]
 
+    # Cotangent accumulation runs in the COMPUTE dtype (bf16 under mixed
+    # precision), not forced fp32: each dx_b is a full conv-VJP output
+    # (fp32-accumulated inside the MXU) and at most 6 of them sum per
+    # block — the same precision XLA autodiff of the bf16 flax module
+    # uses, while fp32 buffers here doubled the adjoint's HBM traffic
+    # (VERDICT r3 #4a). Bias grads still reduce in fp32 (a 0-d sum over
+    # B*H*W elements is where bf16 actually loses bits).
     gblk = {}
     dws = [None] * len(specs)
     dbs = [None] * len(specs)
     for j in reversed(range(len(specs))):
         s = specs[j]
-        g = gouts[j].astype(jnp.float32)
+        g = gouts[j]
         if (n_inputs + j) in gblk:
-            g = g + gblk.pop(n_inputs + j)
+            g = g + gblk.pop(n_inputs + j).astype(g.dtype)
         if s.act:
             cj = acts[j]
-            g = g * jnp.where(cj >= 0, 1.0, 0.1).astype(jnp.float32)
-        dbs[j] = jnp.sum(g, axis=(0, 1, 2)).astype(biases_dtype(weights, j))
+            g = g * jnp.where(cj >= 0, 1.0, 0.1).astype(g.dtype)
+        dbs[j] = jnp.sum(
+            g.astype(jnp.float32), axis=(0, 1, 2)
+        ).astype(biases_dtype(weights, j))
         dacc = g.astype(block_val(s.reads[0]).dtype)
         dwj = []
         for r, bid in enumerate(s.reads):
@@ -924,12 +933,10 @@ def _diff_bwd(specs, h, w, th, w_img, interpret, res, gouts):
             dx_b, dw_br = vjp(dacc)
             dwj.append(dw_br.astype(weights[j][r].dtype))
             prev = gblk.get(bid)
-            dx_b = dx_b.astype(jnp.float32)
             gblk[bid] = dx_b if prev is None else prev + dx_b
         dws[j] = dwj
     dins = [
-        gblk.get(r, jnp.zeros_like(inputs[r], jnp.float32)).astype(
-            inputs[r].dtype)
+        gblk.get(r, jnp.zeros_like(inputs[r])).astype(inputs[r].dtype)
         for r in range(n_inputs)
     ]
     return dins, dws, dbs

@@ -286,6 +286,7 @@ def make_unsupervised_flow_step(hparams: dict):
                 occ_res == "quarter" and is_pwc
                 and flow_l2 is not None and back_l2 is not None
             )
+            half = occ_res == "half" and not quarter
             if quarter:
                 # occlusion from the PWC-native 1/4-res flows (16x fewer
                 # pixels: the 97 ms full-res splat becomes ~6 ms, the fb
@@ -295,6 +296,18 @@ def make_unsupervised_flow_step(hparams: dict):
                 # fb alphas effectively rescale (L2 pixel units).
                 fwd_o = jax.lax.stop_gradient(flow_l2)
                 bwd_o = jax.lax.stop_gradient(back_l2).astype(fwd_o.dtype)
+            elif half:
+                # VERDICT r3 #4b: splat at HALF res with the flow mass
+                # aggregated exactly from the FULL-res flow (2x2-block
+                # area mean, endpoints halved), nearest-upsampled back.
+                # 4x fewer scatter updates than the full-res splat
+                # (~97 -> ~24 ms); unlike 'quarter' this uses the
+                # upsampled+context-refined full-res flow, not the raw
+                # L2 output. Extension hparam; parity default is 'full'.
+                fwd_o = _area_down(
+                    jax.lax.stop_gradient(flow_pred), 2) * 0.5
+                bwd_o = _area_down(
+                    back_flow.astype(fwd_o.dtype), 2) * 0.5
             else:
                 fwd_o = jax.lax.stop_gradient(flow_pred)
                 bwd_o = back_flow.astype(fwd_o.dtype)
@@ -306,6 +319,10 @@ def make_unsupervised_flow_step(hparams: dict):
             if quarter:
                 occ_pred = jnp.repeat(
                     jnp.repeat(occ_pred, 4, axis=1), 4, axis=2
+                )
+            elif half:
+                occ_pred = jnp.repeat(
+                    jnp.repeat(occ_pred, 2, axis=1), 2, axis=2
                 )
             if occ_warmup:
                 occ_pred = jnp.where(

@@ -270,3 +270,20 @@ def test_fused_both_train_step_mesh_equality(rng):
         # near-zero grads (observed: 1 elem / 650k at 1.3e-4)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-4)
+
+
+def test_unsupervised_occ_half_resolution(rng):
+    """occ_resolution='half': occlusion splat on the 2x area-downsampled
+    full-res flow, nearest-upsampled; the step runs and stays finite."""
+    net = models.SimpleFlowNet()
+    batch = synthetic_batch(rng)
+    batch["occ"] = jnp.zeros_like(batch["flow"][..., :1])
+    state = create_train_state(
+        net, jax.random.PRNGKey(0), batch["images"], optax.adam(1e-4)
+    )
+    train_step, _ = steps.make_unsupervised_flow_step(
+        {"photo_weight": 1.0, "occ_aware": True, "occ_resolution": "half"}
+    )
+    state, metrics = train_step(state, batch)
+    for k in ("loss", "photometric", "photometric_occ", "occ_error"):
+        assert np.isfinite(float(metrics[k])), k

@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--occ_method", default="fb_consistency",
                     choices=["range_map", "fb_consistency"])
     ap.add_argument("--occ_resolution", default="quarter",
-                    choices=["full", "quarter"])
+                    choices=["full", "half", "quarter"])
     ap.add_argument("--photo_resolution", default="full",
                     choices=["full", "half", "quarter"])
     ap.add_argument("--fast_forward", default="both",
