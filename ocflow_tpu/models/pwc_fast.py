@@ -257,6 +257,52 @@ def _decoder_pack(b: int, w: int) -> int | None:
     return None
 
 
+def _fused_dense_decoder_q8(dec_params, xf, xf_shape, q8, upfeat, upflow,
+                            th, interpret=False):
+    """W8A8 variant of the fuse_flow fused decoder (L6..L3 levels): growth
+    convs int8, flow head in the bf16 side stripe (full precision — its
+    value feeds the next level's warp), phase convs emitting bf16.
+    Returns (up_flow8_flat, up_feat8_flat) like the bf16 kernel."""
+    b, h, w, c0 = xf_shape
+    block_ch = [c0] + list(_GROWTH)
+    weights, biases, specs, scales = [], [], [], []
+    for j, g in enumerate(_GROWTH):
+        cb = dec_params[f"ConvBlock_{j}"]["Conv_0"]
+        weights.append(_split_newest_first(cb["kernel"], block_ch[: j + 1]))
+        biases.append(cb["bias"])
+        specs.append(ConvSpec(reads=tuple(range(j + 1)), cout=g, q8=True))
+        scales.append(q8["growth"][j])
+    pf = dec_params["PredictFlow_0"]["Conv_0"]
+    weights.append(_split_newest_first(pf["kernel"], block_ch))
+    biases.append(pf["bias"])
+    specs.append(ConvSpec(reads=tuple(range(6)), cout=2, act=False))
+    scales.append(None)
+    fw, fb = _phase_conv_weights(upflow)
+    weights.append([fw])
+    biases.append(fb)
+    specs.append(ConvSpec(reads=(6,), cout=8, act=False, emit=True))
+    scales.append(None)
+    uw, ub = _upfeat_phase_weights(upfeat, block_ch)
+    weights.append(uw)
+    biases.append(ub)
+    specs.append(ConvSpec(reads=tuple(range(6)), cout=8, act=False,
+                          emit=True))
+    scales.append(None)
+
+    pack = _decoder_pack(b, w)
+    xq = quantize_q8(xf, q8["in"])
+    if pack > 1:
+        xq = pack_lanes(xq, h, w, pack)
+    outs = conv_group_q8(
+        xq, q8["in"], weights, biases, specs, scales, h, w * pack,
+        th=th, w_img=w if pack > 1 else None, interpret=interpret)
+    if pack > 1:
+        outs = [unpack_lanes(o, h, w, pack) for o in outs]
+    up_flow = _unpack_phases(flat_to_nhwc(outs[0], h, w, 8))
+    up_feat = _unpack_phases(flat_to_nhwc(outs[1], h, w, 8))
+    return up_flow, up_feat
+
+
 def _fused_dense_decoder(dec_params, xcat, th, interpret=False, diff=False,
                          upfeat=None, upflow=None, xf=None, xf_shape=None):
     """DenseDecoder as one fused kernel, emitting (flow, feat) like the flax
@@ -412,6 +458,7 @@ def calibrate_q8(
     flow, feat = _dense_decoder_xla(p["DenseDecoder_0"], corr)
     up_flow = _deconv(flow, p["Deconv_0"])
     up_feat = _deconv(feat, p["Deconv_1"])
+    level_inputs = {"dec0": corr}
 
     xcat = None
     for i, (lvl, scale) in enumerate(zip((4, 3, 2, 1), warp_scales)):
@@ -425,21 +472,30 @@ def calibrate_q8(
         xcat = jnp.concatenate([corr, c1n, up_flow, up_feat], axis=-1)
         if lvl > 1:
             dec = p[f"DenseDecoder_{i + 1}"]
+            level_inputs[f"dec{i + 1}"] = xcat
             flow, feat = _dense_decoder_xla(dec, xcat)
             up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
             up_feat = _deconv(feat, p[f"Deconv_{2 * i + 3}"])
 
     amax = lambda t: jnp.max(jnp.abs(t.astype(jnp.float32)))
-    # the fused path zero-pads xcat to the 16-aligned stripe width; pad
-    # channels are zeros and do not move the max
-    scales = {"in": amax(xcat) / 127.0, "growth": []}
-    dec = p["DenseDecoder_4"]
-    xcur = xcat
-    for j in range(5):
-        cb = dec[f"ConvBlock_{j}"]["Conv_0"]
-        c = _conv(xcur, cb["kernel"], cb["bias"])
-        scales["growth"].append(amax(c) / 127.0)
-        xcur = jnp.concatenate([c, xcur], axis=-1)
+
+    def growth_scales(dec, xin):
+        # the fused path zero-pads the input to its 16/32-aligned stripe
+        # width; pad channels are zeros and do not move the max
+        sc = {"in": amax(xin) / 127.0, "growth": []}
+        xcur = xin
+        for j in range(5):
+            cb = dec[f"ConvBlock_{j}"]["Conv_0"]
+            c = _conv(xcur, cb["kernel"], cb["bias"])
+            sc["growth"].append(amax(c) / 127.0)
+            xcur = jnp.concatenate([c, xcur], axis=-1)
+        return sc
+
+    scales = {
+        k: growth_scales(p[f"DenseDecoder_{k[3:]}"], v)
+        for k, v in level_inputs.items()
+    }
+    scales["dec4"] = growth_scales(p["DenseDecoder_4"], xcat)
     return scales
 
 
@@ -755,10 +811,17 @@ def _fast_decode(
         corr_f = _leaky(cost_volume_flat(c16, c26, displacement))
         nk = corr_f.shape[1]
         corr_f = jnp.pad(corr_f, ((0, 0), (0, _ceil16(nk) - nk), (0, 0)))
-        flow, parts, up_flow, up_feat = _fused_dense_decoder(
-            p["DenseDecoder_0"], None, th=_tile_for(h6, th),
-            interpret=interpret, diff=diff, upfeat=p["Deconv_1"],
-            upflow=p["Deconv_0"], xf=corr_f, xf_shape=(b, h6, w6, nk))
+        if q8 is not None and corr_f.shape[1] % 32 == 0:
+            flow, parts = None, None
+            up_flow, up_feat = _fused_dense_decoder_q8(
+                p["DenseDecoder_0"], corr_f, (b, h6, w6, nk), q8["dec0"],
+                p["Deconv_1"], p["Deconv_0"], th=_tile_for(h6, th),
+                interpret=interpret)
+        else:
+            flow, parts, up_flow, up_feat = _fused_dense_decoder(
+                p["DenseDecoder_0"], None, th=_tile_for(h6, th),
+                interpret=interpret, diff=diff, upfeat=p["Deconv_1"],
+                upflow=p["Deconv_0"], xf=corr_f, xf_shape=(b, h6, w6, nk))
     else:
         corr = _leaky(cost_volume(c16, c26, displacement))
         if _decoder_pack(b, corr.shape[2]) is not None:
@@ -800,7 +863,13 @@ def _fast_decode(
             xf, c0 = None, None
         if lvl > 1:
             dec = p[f"DenseDecoder_{i + 1}"]
-            if flat_lvl:
+            if flat_lvl and q8 is not None and xf.shape[1] % 32 == 0:
+                flow, parts = None, None
+                up_flow, up_feat = _fused_dense_decoder_q8(
+                    dec, xf, (b, h_l, w_l, c0), q8[f"dec{i + 1}"],
+                    p[f"Deconv_{2 * i + 3}"], p[f"Deconv_{2 * i + 2}"],
+                    th=_tile_for(h_l, th), interpret=interpret)
+            elif flat_lvl:
                 flow, parts, up_flow, up_feat = _fused_dense_decoder(
                     dec, None, th=_tile_for(h_l, th),
                     interpret=interpret, diff=diff,
@@ -832,7 +901,8 @@ def _fast_decode(
                 p["DenseDecoder_4"], p["ContextNetwork_0"], xcat,
                 th=_tile_for(h_l, l2_th), interpret=interpret,
                 diff=diff, xf=xf, xf_shape=(b, h_l, w_l, c0),
-                q8=q8 if (use_flat and flat_lvl) else None)
+                q8=(q8["dec4"] if (q8 is not None and use_flat and flat_lvl
+                                   and xf.shape[1] % 32 == 0) else None))
 
     flow2 = flow2.astype(jnp.float32)
     h, w = flow2.shape[1] * 4, flow2.shape[2] * 4

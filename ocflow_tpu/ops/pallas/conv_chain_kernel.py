@@ -592,10 +592,15 @@ def _pack_weights_q8(wq, cout_pad):
     return w
 
 
-def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid, offs,
-                    out_ids, interpret):
-    """p3 chain over an int8 stripe. Layout mirrors _kernel_body; every
-    spec's reads are a contiguous q8 block range starting at block 0."""
+def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
+                    stripe, offs, k_ranges, out_ids, has_b16, stored16,
+                    interpret):
+    """p3 chain over an int8 stripe S8 plus an optional bf16 side stripe
+    S16 for non-q8 blocks that later specs read (e.g. the flow head feeding
+    the up-flow phase conv). A spec's GEMM dtype follows its read stripe:
+    int8 x int8 -> int32 for q8 reads, bf16 -> f32 otherwise. ``offs[bid]``
+    is the block's offset within its own stripe; ``k_ranges[j]`` the
+    (start, K) of spec j's contiguous read range."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -604,9 +609,12 @@ def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid, offs,
     x_ref = refs[pos]; pos += 1
     w_refs = refs[pos:pos + n_convs]; pos += n_convs
     d_refs = refs[pos:pos + n_convs]; pos += n_convs  # dq [cout_pad, 1] f32
-    b_refs = refs[pos:pos + n_convs]; pos += n_convs  # bias/s_out [cout_pad, 1]
+    b_refs = refs[pos:pos + n_convs]; pos += n_convs  # bias(/s_out) [cout_pad, 1]
     out_refs = refs[pos:pos + len(out_ids)]; pos += len(out_ids)
     S8 = refs[pos]; pos += 1
+    S16 = None
+    if has_b16:
+        S16 = refs[pos]; pos += 1
     sem = refs[pos]
 
     t = pl.program_id(1)
@@ -615,66 +623,71 @@ def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid, offs,
 
     c = pltpu.make_async_copy(
         x_ref.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
-        S8.at[pl.ds(0, offs[1]), :],
+        S8.at[pl.ds(0, x_ref.shape[1]), :],
         sem,
     )
     c.start()
     c.wait()
 
-    def _zero_halo(oj, cout_pad, v):
+    def _zero_halo(S, oj, cout_pad, v):
         if halo <= v:
             return
         nz = (halo - v) * w_lanes
 
         @pl.when(t == 0)
         def _():
-            S8[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, nz)] = jnp.zeros(
-                (cout_pad, nz), S8.dtype)
+            S[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, nz)] = jnp.zeros(
+                (cout_pad, nz), S.dtype)
 
         @pl.when(t == pl.num_programs(1) - 1)
         def _():
-            S8[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
-                jnp.zeros((cout_pad, nz), S8.dtype))
+            S[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
+                jnp.zeros((cout_pad, nz), S.dtype))
 
     o_idx = 0
     for j, spec in enumerate(specs):
         d = spec.dilation
         v = valid[1 + j]
-        m_rows = R - 2 * v
-        m = m_rows * w_lanes
-        cout_pad = _ceil32(spec.cout)
-        k0 = offs[spec.reads[0]]
-        K = offs[spec.reads[-1] + 1] - k0
+        m = (R - 2 * v) * w_lanes
+        is_q_read = stripe[spec.reads[0]] == "q"
+        cout_pad = _ceil32(spec.cout) if is_q_read else _ceil_to(
+            spec.cout, 16)
+        k0, K = k_ranges[j]
 
-        p3 = jnp.zeros((3 * cout_pad, m), jnp.int32)
+        S_in = S8 if is_q_read else S16
+        acc_dt = jnp.int32 if is_q_read else jnp.float32
+        p3 = jnp.zeros((3 * cout_pad, m), acc_dt)
         for dyi in range(3):
             row0 = v + (dyi - 1) * d
-            rhs = S8[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
+            rhs = S_in[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
             lhs = w_refs[j][pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
             p3 += jax.lax.dot_general(
                 lhs, rhs,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+                preferred_element_type=acc_dt,
             )
         acc_i = p3[cout_pad:2 * cout_pad, :]
         col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_img
         for dxi in (0, 2):
             dx = (dxi - 1) * d
-            p = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
+            pp = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
             keep = (col < w_img - dx) if dx > 0 else (col >= -dx)
-            rolled = pltpu.roll(p, shift=(m - dx) % m, axis=1)
-            acc_i = acc_i + jnp.where(keep, rolled, 0)
+            rolled = pltpu.roll(pp, shift=(m - dx) % m, axis=1)
+            acc_i = acc_i + jnp.where(keep, rolled, jnp.zeros((), acc_dt))
         acc = acc_i.astype(jnp.float32) * d_refs[j][:, :1] + b_refs[j][:, :1]
         if spec.act:
             acc = jnp.where(acc >= 0, acc, acc * 0.1)
+        bid = 1 + j
         if spec.q8:
             q = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
-            oj = offs[1 + j]
-            S8[pl.ds(oj, cout_pad), pl.ds(v * w_lanes, m)] = q
-            _zero_halo(oj, cout_pad, v)
+            S8[pl.ds(offs[bid], cout_pad), pl.ds(v * w_lanes, m)] = q
+            _zero_halo(S8, offs[bid], cout_pad, v)
+        elif bid in stored16:
+            c16 = _ceil_to(spec.cout, 16)
+            S16[pl.ds(offs[bid], c16), pl.ds(v * w_lanes, m)] = (
+                acc[:c16].astype(S16.dtype))
+            _zero_halo(S16, offs[bid], c16, v)
         if spec.emit:
-            # write the valid th-row window straight out in bf16 (non-q8
-            # specs never re-enter the stripe)
             r0 = (halo - v) * w_lanes
             out_refs[o_idx][0, :, :] = acc[
                 :out_refs[o_idx].shape[1], r0:r0 + th * w_lanes
@@ -701,9 +714,11 @@ def conv_group_q8(
         values ≈ x / in_scale.
     spec_scales[j]: output scale for spec j (required when specs[j].q8;
         ignored otherwise). Emitted outputs come back bf16, already
-        de-scaled. Specs must be 3x3 p3 convs with contiguous reads; a
-        non-q8 spec must be emit-only (nothing may read it).
-    """
+        de-scaled. Specs must be 3x3 p3 convs whose reads are contiguous
+        block ids living in ONE stripe: the int8 stripe (input + q8 spec
+        outputs) or the bf16 side stripe (non-q8 spec outputs that later
+        specs read — their GEMM runs bf16; e.g. the up-flow phase conv
+        reading the full-precision flow head)."""
     specs = tuple(specs)
     if w_img is None:
         w_img = w
@@ -713,43 +728,80 @@ def conv_group_q8(
     assert c0 % 32 == 0, "pad the q8 input to a multiple of 32 channels"
     assert x_q8.dtype == jnp.int8
 
+    n_blocks = 1 + len(specs)
+    read_by = [set() for _ in range(n_blocks)]
     valid = [0]
     for j, s in enumerate(specs):
         assert not s.im2col and s.stride == 1 and _is_contig(s.reads)
-        assert s.reads[0] == 0, "q8 chain reads start at the input block"
-        assert all(b == 0 or specs[b - 1].q8 for b in s.reads), (
-            "q8 GEMMs may only read quantized blocks")
-        assert s.q8 != s.emit, "q8 blocks are internal; emits are bf16"
+        for bid in s.reads:
+            assert bid < 1 + j
+            read_by[bid].add(j)
         valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
+    stripe = ["q"] + ["q" if s.q8 else "b" for s in specs]
+    stored16 = frozenset(
+        bid for bid in range(1, n_blocks)
+        if stripe[bid] == "b" and read_by[bid]
+    )
     out_ids = [1 + j for j, s in enumerate(specs) if s.emit]
     halo = max(valid[cid] for cid in out_ids)
     assert halo <= th or h <= th
     R = th + 2 * halo
 
+    # per-stripe offsets: q8 blocks 32-aligned in S8, stored bf16 blocks
+    # 16-aligned in S16; other blocks occupy no stripe space
+    offs = [0] * n_blocks
+    width = [0] * n_blocks
+    o8 = o16 = 0
+    for bid in range(n_blocks):
+        if stripe[bid] == "q":
+            width[bid] = c0 if bid == 0 else _ceil32(specs[bid - 1].cout)
+            offs[bid] = o8
+            o8 += width[bid]
+        elif bid in stored16:
+            width[bid] = _ceil_to(specs[bid - 1].cout, 16)
+            offs[bid] = o16
+            o16 += width[bid]
+    k_ranges = []
+    for j, s in enumerate(specs):
+        kinds = {stripe[bid] for bid in s.reads}
+        assert len(kinds) == 1, "a GEMM cannot mix int8 and bf16 blocks"
+        if stripe[s.reads[0]] == "b":
+            assert all(bid in stored16 for bid in s.reads)
+        assert not (s.q8 and s.emit), "q8 blocks are internal; emits are bf16"
+        assert s.q8 or s.emit or (1 + j) in stored16, (
+            "a non-q8, non-emitted, never-read conv is dead")
+        # contiguous same-stripe block ids have contiguous offsets
+        k_ranges.append((offs[s.reads[0]],
+                         offs[s.reads[-1]] + width[s.reads[-1]]
+                         - offs[s.reads[0]]))
+
     padded = jnp.pad(
         x_q8.reshape(bsz, c0, h, w), ((0, 0), (0, 0), (halo, halo), (0, 0))
     ).reshape(bsz, c0, (h + 2 * halo) * w)
 
-    # stripe offsets: input + q8 blocks get 32-aligned rows; non-q8 specs
-    # occupy no stripe space (offs advance by 0)
-    block_ch = [c0] + [_ceil32(s.cout) if s.q8 else 0 for s in specs]
-    offs = [0]
-    for c in block_ch:
-        offs.append(offs[-1] + c)
-
     block_scales = [in_scale] + [
         spec_scales[j] if specs[j].q8 else None for j in range(len(specs))
     ]
+    dtype16 = jnp.bfloat16
     packed_w, packed_d, packed_b = [], [], []
     for j, s in enumerate(specs):
-        cp = _ceil32(s.cout)
-        read_scales = [block_scales[bid] for bid in s.reads]
-        read_widths = [block_ch[bid] for bid in s.reads]
-        wq, wscale = fold_quant_weights(weights[j], read_scales, cp,
-                                        read_widths)
-        packed_w.append(_pack_weights_q8(wq, cp))
+        is_q_read = stripe[s.reads[0]] == "q"
+        cp = _ceil32(s.cout) if is_q_read else _ceil_to(s.cout, 16)
+        read_widths = [width[bid] for bid in s.reads]
         s_out = spec_scales[j] if s.q8 else 1.0
-        packed_d.append((wscale / s_out).reshape(-1, 1))
+        if is_q_read:
+            read_scales = [block_scales[bid] for bid in s.reads]
+            wq, wscale = fold_quant_weights(weights[j], read_scales, cp,
+                                            read_widths)
+            packed_w.append(_pack_weights_q8(wq, cp))
+            packed_d.append((wscale / s_out).reshape(-1, 1))
+        else:
+            per = [
+                _pack_weights(wr, rw, cp).astype(dtype16)
+                for wr, rw in zip(weights[j], read_widths)
+            ]
+            packed_w.append(jnp.concatenate(per, axis=1))
+            packed_d.append(jnp.full((cp, 1), 1.0 / s_out, jnp.float32))
         bias = jnp.pad(biases[j].astype(jnp.float32),
                        (0, cp - biases[j].shape[0]))
         packed_b.append((bias / s_out).reshape(-1, 1))
@@ -759,8 +811,10 @@ def conv_group_q8(
 
     kern = functools.partial(
         _q8_kernel_body, specs=specs, th=th, halo=halo, w_lanes=w,
-        w_img=w_img, valid=tuple(valid), offs=tuple(offs),
-        out_ids=tuple(out_ids), interpret=interpret,
+        w_img=w_img, valid=tuple(valid), stripe=tuple(stripe),
+        offs=tuple(offs), k_ranges=tuple(k_ranges),
+        out_ids=tuple(out_ids), has_b16=bool(stored16),
+        stored16=stored16, interpret=interpret,
     )
     vmem = pltpu.VMEM
     in_specs = (
@@ -777,16 +831,18 @@ def conv_group_q8(
         jax.ShapeDtypeStruct((bsz, ch, h * w), jnp.bfloat16)
         for ch in out_ch
     ]
-    scratch = [
-        vmem((offs[-1], R * w), jnp.int8),
-        pltpu.SemaphoreType.DMA,
-    ]
+    scratch = [vmem((o8, R * w), jnp.int8)]
+    if stored16:
+        scratch.append(vmem((o16, R * w), dtype16))
+    scratch.append(pltpu.SemaphoreType.DMA)
 
     flops = 0
     for j, s in enumerate(specs):
         mj = (R - 2 * valid[1 + j]) * w
-        k = offs[s.reads[-1] + 1] - offs[s.reads[0]]
-        flops += 2 * 9 * _ceil32(s.cout) * k * mj
+        k = sum(width[bid] for bid in s.reads)
+        cp = _ceil32(s.cout) if stripe[s.reads[0]] == "q" else (
+            _ceil_to(s.cout, 16))
+        flops += 2 * 9 * cp * k * mj
     flops *= bsz * (h // th)
 
     outs = pl.pallas_call(
