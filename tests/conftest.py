@@ -23,6 +23,13 @@ import jax  # noqa: E402
 # var alone is not enough; force the config after import.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the slow suite is dominated by XLA CPU
+# compiles of the big PWC train/inference programs (~85% of its hour);
+# caching them makes RE-runs minutes instead (the VERDICT r3 #8 concern —
+# round-end full runs discouraging re-runs). First/cold runs are unchanged.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
