@@ -385,6 +385,121 @@ def convert_occlusion_net_s(state_dict: Mapping[str, object], use_bn: bool = Tru
     return out
 
 
+def convert_simple_flow_occ_net(state_dict: Mapping[str, object]) -> dict:
+    """Reference SimpleFlowOccNet (simple_flow_occ_net.py:60-137) → flax
+    variables for ``ocflow_tpu.models.SimpleFlowOccNet``."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for i in range(5):
+        p, st = _proj_block3(sd, f"down{i + 1}")
+        params[f"ProjDown_{i}"], stats[f"ProjDown_{i}"] = p, st
+    for i in range(4):
+        p, st = _proj_block3(sd, f"up{i + 1}")
+        params[f"ProjUp_{i}"], stats[f"ProjUp_{i}"] = p, st
+    # creation order per decoder level: PredictFlowStack_i, PredictOccStack_i
+    # ↔ predict_flow{5-i}/predict_occ{5-i} (simple_flow_occ_net.py:114-136)
+    for i, lvl in enumerate((5, 4, 3, 2, 1)):
+        params[f"PredictFlowStack_{i}"] = {
+            "ConvBlock_0": {"Conv_0": _conv(sd, f"predict_flow{lvl}.0.0")},
+            "ConvBlock_1": {"Conv_0": _conv(sd, f"predict_flow{lvl}.1.0")},
+            "Conv_0": _conv(sd, f"predict_flow{lvl}.2.0"),
+        }
+        params[f"PredictOccStack_{i}"] = _occ_stack(sd, f"predict_occ{lvl}")
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_flow_occ_net_s(state_dict: Mapping[str, object], use_bn: bool = True) -> dict:
+    """Reference FlowOccNetS (flow_occ_net_s.py:10-117) → flax variables
+    for ``ocflow_tpu.models.FlowOccNetS``."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    enc_p, enc_s = {}, {}
+    convs = ["conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+             "conv5", "conv5_1", "conv6", "conv6_1"]
+    for i, n in enumerate(convs):
+        blk = {"Conv_0": _conv(sd, f"{n}.0", bias=not use_bn)}
+        if use_bn:
+            bn_p, bn_s = _bn(sd, f"{n}.1")
+            blk["BatchNorm_0"] = bn_p
+            enc_s[f"ConvBlock_{i}"] = {"BatchNorm_0": bn_s}
+        enc_p[f"ConvBlock_{i}"] = blk
+    params["_FNetSEncoder_0"] = enc_p
+    if use_bn:
+        stats["_FNetSEncoder_0"] = enc_s
+
+    # per level (flow_occ_net_s.py:86-116): PredictFlow_i, PredictOcc_i,
+    # Deconv(flow up, bias=False), Deconv(occ up, bias=False), Deconv(feat)
+    decs = ["deconv5", "deconv4", "deconv3", "deconv2"]
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        params[f"PredictFlow_{i}"] = {"Conv_0": _conv(sd, f"predict_flow{lvl}")}
+        params[f"PredictOcc_{i}"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
+        if lvl > 2:
+            nxt = lvl - 1
+            params[f"Deconv_{3 * i}"] = {"ConvTranspose_0": _deconv(
+                sd, f"upsampled_flow{lvl}_to_{nxt}", bias=False)}
+            params[f"Deconv_{3 * i + 1}"] = {"ConvTranspose_0": _deconv(
+                sd, f"upsampled_occ{lvl}_to_{nxt}", bias=False)}
+            params[f"Deconv_{3 * i + 2}"] = {
+                "ConvTranspose_0": _deconv(sd, f"{decs[i]}.0")}
+
+    sd.finish()
+    out = {"params": params}
+    if use_bn:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_flow_occ_net_cv(state_dict: Mapping[str, object]) -> dict:
+    """Reference FlowOccNetCV (cost_volume_flow_occ_net.py:26-271) → flax
+    variables for ``ocflow_tpu.models.FlowOccNetCV``. The reference file is
+    import-broken (missing cost_volume_net module); goldens run it with a
+    stub CostVolumeLayer pinned to our documented repair semantics
+    (per-pixel channel MEAN of f1 * shifted(f2), dy-major channels)."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+
+    enc_names = []
+    for lvl in range(1, 6):
+        enc_names += [f"conv{lvl}a", f"conv{lvl}aa", f"conv{lvl}b"]
+    enc_names += ["conv6aa", "conv6a", "conv6b"]
+    params["SiameseEncoder_0"] = {
+        f"ConvBlock_{i}": {"Conv_0": _conv(sd, f"{n}.0")}
+        for i, n in enumerate(enc_names)
+    }
+
+    # decoder creation order: _DenseFlowOccDecoder_i then (lvl>1) the
+    # upflow/upocc/upfeat deconv triplet (flow_occ_nets.py:188-206)
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        dec = {
+            f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"conv{lvl}_{j}.0")}
+            for j in range(5)
+        }
+        dec["PredictFlow_0"] = {"Conv_0": _conv(sd, f"predict_flow{lvl}")}
+        dec["PredictOcc_0"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
+        params[f"_DenseFlowOccDecoder_{i}"] = dec
+        if lvl > 2:
+            params[f"Deconv_{3 * i}"] = {
+                "ConvTranspose_0": _deconv(sd, f"upflow{lvl}")}
+            params[f"Deconv_{3 * i + 1}"] = {
+                "ConvTranspose_0": _deconv(sd, f"upocc{lvl}")}
+            params[f"Deconv_{3 * i + 2}"] = {
+                "ConvTranspose_0": _deconv(sd, f"upfeat{lvl}")}
+
+    ctx = {
+        f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"dc_conv{j + 1}.0")}
+        for j in range(6)
+    }
+    ctx["Conv_0"] = _conv(sd, "dc_conv7")
+    params["ContextNetwork_0"] = ctx
+
+    sd.finish()
+    return {"params": params}
+
+
 def _sn_conv(sd: _Consumer, name: str, bias: bool = True) -> tuple[dict, dict]:
     """A torch ``nn.utils.spectral_norm``-wrapped Conv2d → (flax Conv params,
     flax SpectralNorm batch_stats). The torch ``weight_u`` (size O) maps onto

@@ -401,3 +401,108 @@ def test_inpaint_discriminator_parity(projected):
         err = np.abs(j_feat - _from_nchw(t_feat)).max()
         scale = np.abs(np.asarray(t_feat.detach())).max() + 1e-8
         assert err / scale < 1e-4, (step, err, scale)
+
+
+@pytest.mark.slow
+def test_simple_flow_occ_net_parity(image_pair):
+    from models.networks.simple_flow_occ_net import (
+        SimpleFlowOccNet as TorchNet,
+    )
+
+    torch.manual_seed(0)
+    ref = TorchNet()
+    _warm_batchnorm(ref, (6, 64, 128))
+
+    variables = torch_convert.convert_simple_flow_occ_net(ref.state_dict())
+    net = models.SimpleFlowOccNet()
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_flow, t_occ = ref(_to_nchw(image_pair))
+    j_flow, j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
+    assert np.abs(np.asarray(j_flow) - _from_nchw(t_flow)).max() < 1e-4
+    # the hard-threshold STE output is binary; compare exact agreement away
+    # from the 0.5 decision boundary
+    t_o = _from_nchw(t_occ)
+    j_o = np.asarray(j_occ)
+    assert np.mean(j_o == t_o) > 0.999, np.mean(j_o == t_o)
+
+
+@pytest.mark.slow
+def test_flow_occ_net_s_parity(image_pair):
+    from models.networks.flow_occ_net_s import FlowOccNetS as TorchNet
+
+    torch.manual_seed(0)
+    ref = TorchNet(input_channels=6, batchNorm=True)
+    _warm_batchnorm(ref, (6, 64, 128))
+
+    variables = torch_convert.convert_flow_occ_net_s(ref.state_dict())
+    net = models.FlowOccNetS(use_bn=True)
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_flow, t_occ = ref(_to_nchw(image_pair))
+    j_flow, j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
+    assert np.abs(np.asarray(j_flow) - _from_nchw(t_flow)).max() < 1e-4
+    assert np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max() < 1e-4
+
+
+def _install_cost_volume_stub():
+    """The reference repo is missing models/networks/cost_volume_net.py (its
+    known import-broken module, SURVEY §2.4). Supply a stub whose
+    CostVolumeLayer implements our documented repair semantics — per-pixel
+    channel MEAN of f1 * shifted(f2), dy-major channels, zero padding — so
+    the rest of the broken nets (encoders, dense decoders, gated warps,
+    deconvs, context net) can be golden-tested against torch."""
+    import types
+
+    if "models.networks.cost_volume_net" in sys.modules:
+        return
+    mod = types.ModuleType("models.networks.cost_volume_net")
+
+    class CostVolumeLayer(torch.nn.Module):
+        def __init__(self, max_displacement=4):
+            super().__init__()
+            self.d = max_displacement
+
+        def forward(self, f1, f2):
+            d = self.d
+            _, _, h, w = f1.shape
+            f2p = torch.nn.functional.pad(f2, (d, d, d, d))
+            outs = [
+                (f1 * f2p[:, :, i : i + h, j : j + w]).mean(dim=1)
+                for i in range(2 * d + 1)
+                for j in range(2 * d + 1)
+            ]
+            return torch.stack(outs, dim=1)
+
+    mod.CostVolumeLayer = CostVolumeLayer
+    sys.modules["models.networks.cost_volume_net"] = mod
+
+
+@pytest.mark.slow
+def test_flow_occ_net_cv_parity(image_pair):
+    """Full-forward golden for the repaired FlowOccNetCV: everything except
+    the irrecoverably-missing CostVolumeLayer (pinned by the stub to our
+    documented repair) comes from the reference file."""
+    _install_cost_volume_stub()
+    from models.networks.cost_volume_flow_occ_net import (
+        FlowOccNetCV as TorchNet,
+    )
+
+    torch.manual_seed(0)
+    ref = TorchNet()
+    ref.eval()
+
+    variables = torch_convert.convert_flow_occ_net_cv(ref.state_dict())
+    net = models.FlowOccNetCV()
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_flow, t_occ = ref(_to_nchw(image_pair))
+    j_flow, j_occ = net.apply(variables, jnp.asarray(image_pair))
+    assert np.abs(np.asarray(j_flow) - _from_nchw(t_flow)).max() < 1e-4
+    assert np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max() < 1e-4
