@@ -500,6 +500,71 @@ def convert_flow_occ_net_cv(state_dict: Mapping[str, object]) -> dict:
     return {"params": params}
 
 
+def _fnetc_trunk(sd: _Consumer, use_bn: bool) -> tuple[dict, dict]:
+    """The shared FlowNetC-style trunk of FlowOccNetC / OcclusionNetC
+    (flow_occ_net_c.py:21-36, occlusion_net_c.py:17-33): siamese conv1-3,
+    conv_redir, merged conv3_1..conv6_1 → ConvBlock_0..10."""
+    params, stats = {}, {}
+    names = ["conv1", "conv2", "conv3", "conv_redir", "conv3_1",
+             "conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"]
+    for i, n in enumerate(names):
+        blk = {"Conv_0": _conv(sd, f"{n}.0", bias=not use_bn)}
+        if use_bn:
+            bn_p, bn_s = _bn(sd, f"{n}.1")
+            blk["BatchNorm_0"] = bn_p
+            stats[f"ConvBlock_{i}"] = {"BatchNorm_0": bn_s}
+        params[f"ConvBlock_{i}"] = blk
+    return params, stats
+
+
+def convert_flow_occ_net_c(state_dict: Mapping[str, object], use_bn: bool = True) -> dict:
+    """Reference FlowOccNetC (flow_occ_net_c.py:11-146, import-broken; see
+    the CostVolumeLayer stub note on convert_flow_occ_net_cv) → flax
+    variables for ``ocflow_tpu.models.FlowOccNetC``."""
+    sd = _Consumer(state_dict)
+    params, stats = _fnetc_trunk(sd, use_bn)
+    decs = ["deconv5", "deconv4", "deconv3", "deconv2"]
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        params[f"PredictFlow_{i}"] = {"Conv_0": _conv(sd, f"predict_flow{lvl}")}
+        params[f"PredictOcc_{i}"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
+        if lvl > 2:
+            nxt = lvl - 1
+            # the *_up deconvs are bias=True in this variant (:58-61),
+            # unlike flow_occ_net_s
+            params[f"Deconv_{3 * i}"] = {"ConvTranspose_0": _deconv(
+                sd, f"upsampled_flow{lvl}_to_{nxt}")}
+            params[f"Deconv_{3 * i + 1}"] = {"ConvTranspose_0": _deconv(
+                sd, f"upsampled_occ{lvl}_to_{nxt}")}
+            params[f"Deconv_{3 * i + 2}"] = {
+                "ConvTranspose_0": _deconv(sd, f"{decs[i]}.0")}
+    sd.finish()
+    out = {"params": params}
+    if use_bn:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_occlusion_net_c(state_dict: Mapping[str, object], use_bn: bool = True) -> dict:
+    """Reference OcclusionNetC (occlusion_net_c.py:10-118, import-broken;
+    stub note as above) → flax ``ocflow_tpu.models.OcclusionNetC``."""
+    sd = _Consumer(state_dict)
+    params, stats = _fnetc_trunk(sd, use_bn)
+    decs = ["deconv5", "deconv4", "deconv3", "deconv2"]
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        params[f"PredictOcc_{i}"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
+        if lvl > 2:
+            nxt = lvl - 1
+            params[f"Deconv_{2 * i}"] = {"ConvTranspose_0": _deconv(
+                sd, f"upsampled_occ{lvl}_to_{nxt}")}  # bias=True here
+            params[f"Deconv_{2 * i + 1}"] = {
+                "ConvTranspose_0": _deconv(sd, f"{decs[i]}.0")}
+    sd.finish()
+    out = {"params": params}
+    if use_bn:
+        out["batch_stats"] = stats
+    return out
+
+
 def _sn_conv(sd: _Consumer, name: str, bias: bool = True) -> tuple[dict, dict]:
     """A torch ``nn.utils.spectral_norm``-wrapped Conv2d → (flax Conv params,
     flax SpectralNorm batch_stats). The torch ``weight_u`` (size O) maps onto

@@ -264,11 +264,16 @@ def test_device_cache_loader_matches_dataloader():
             assert isinstance(d[k], jax.Array)
             np.testing.assert_allclose(np.asarray(d[k]), h[k], atol=1e-6)
 
-    # bf16 cast + ragged eval batch
+    # bf16 cache + ragged eval batch. Served batches are fp32 (the round-4
+    # worker-fault workaround, data/pipeline.py) but their VALUES carry the
+    # bf16 storage quantization of the HBM cache.
     dev16 = data.DeviceCacheLoader(ds, 4, shuffle=False, num_workers=0,
                                    drop_last=False)
     batches = list(dev16)
     assert len(batches) == 3 and batches[-1]["images"].shape[0] == 2
-    assert batches[0]["images"].dtype == jnp.bfloat16
-    # metric/supervision targets must NOT be quantized to bf16
+    assert batches[0]["images"].dtype == jnp.float32
+    got = np.asarray(batches[0]["images"])
+    np.testing.assert_array_equal(
+        got, np.asarray(got, np.float32).astype(jnp.bfloat16).astype(np.float32))
+    # metric/supervision targets are never quantized
     assert batches[0]["flow"].dtype == jnp.float32

@@ -506,3 +506,44 @@ def test_flow_occ_net_cv_parity(image_pair):
     j_flow, j_occ = net.apply(variables, jnp.asarray(image_pair))
     assert np.abs(np.asarray(j_flow) - _from_nchw(t_flow)).max() < 1e-4
     assert np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_flow_occ_net_c_parity(image_pair):
+    _install_cost_volume_stub()
+    from models.networks.flow_occ_net_c import FlowOccNetC as TorchNet
+
+    torch.manual_seed(0)
+    ref = TorchNet(batchNorm=True)
+    _warm_batchnorm(ref, (6, 64, 128))
+
+    variables = torch_convert.convert_flow_occ_net_c(ref.state_dict())
+    net = models.FlowOccNetC(use_bn=True)
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_flow, t_occ = ref(_to_nchw(image_pair))
+    j_flow, j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
+    assert np.abs(np.asarray(j_flow) - _from_nchw(t_flow)).max() < 1e-4
+    assert np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_occlusion_net_c_parity(image_pair):
+    _install_cost_volume_stub()
+    from models.networks.occlusion_net_c import OcclusionNetC as TorchNet
+
+    torch.manual_seed(0)
+    ref = TorchNet(batchNorm=True)
+    _warm_batchnorm(ref, (6, 64, 128))
+
+    variables = torch_convert.convert_occlusion_net_c(ref.state_dict())
+    net = models.OcclusionNetC(use_bn=True)
+    template = net.init(jax.random.PRNGKey(0), jnp.asarray(image_pair[:1]))
+    _assert_tree_matches(template, variables)
+
+    with torch.no_grad():
+        t_occ = ref(_to_nchw(image_pair))
+    j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
+    assert np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max() < 1e-4
