@@ -641,7 +641,7 @@ def _fast_gate(variables: Any, x: jax.Array, mesh):
 
 def maybe_fast_apply(
     variables: Any, x: jax.Array, diff: bool = False, mesh=None,
-    axis: str = "data", th: int | None = None,
+    axis: str = "data", th: int | None = None, q8=None,
 ):
     """``fast_apply`` when the fused path is usable, else None.
 
@@ -662,13 +662,15 @@ def maybe_fast_apply(
     interp = INTERPRET_ON_CPU
     if mesh is not None and mesh.size > 1:
         return fast_apply_sharded(
-            variables, x, mesh, axis, diff=diff, th=th, interpret=interp)
-    return fast_apply(variables, x, diff=diff, th=th, interpret=interp)
+            variables, x, mesh, axis, diff=diff, th=th, interpret=interp,
+            q8=q8)
+    return fast_apply(
+        variables, x, diff=diff, th=th, interpret=interp, q8=q8)
 
 
 def maybe_fast_apply_pair(
     variables: Any, x: jax.Array, diff: bool = True, mesh=None,
-    axis: str = "data", th: int | None = None,
+    axis: str = "data", th: int | None = None, q8=None,
 ):
     """``fast_apply_pair`` under the same gate/shard_map plumbing as
     ``maybe_fast_apply``; None when the fused path is unusable."""
@@ -680,7 +682,8 @@ def maybe_fast_apply_pair(
         from jax.sharding import PartitionSpec as P
 
         fn = functools.partial(
-            fast_apply_pair, diff=diff, th=th, interpret=INTERPRET_ON_CPU)
+            fast_apply_pair, diff=diff, th=th, interpret=INTERPRET_ON_CPU,
+            q8=q8)
         sp = (P(axis), P(axis))
         return shard_map(
             fn,
@@ -690,7 +693,7 @@ def maybe_fast_apply_pair(
             check_vma=False,
         )(variables, x)
     return fast_apply_pair(
-        variables, x, diff=diff, th=th, interpret=INTERPRET_ON_CPU)
+        variables, x, diff=diff, th=th, interpret=INTERPRET_ON_CPU, q8=q8)
 
 
 def fast_apply(
@@ -746,8 +749,14 @@ def fast_apply_pair(
     th: int | None = None,
     interpret: bool = False,
     diff: bool = True,
+    q8=None,
 ):
     """Forward AND backward flow sharing ONE siamese encoder pass.
+
+    ``q8``: W8A8 scales for the BACKWARD (no-grad) decode only — the
+    gradient-carrying forward keeps full precision; the backward flow
+    feeds the (stop-gradient) occlusion estimate where the int8 noise
+    (+0.5% EPE, PERF.md) is immaterial.
 
     The occ-aware unsupervised step (reference model.py:366-409) runs the
     whole network twice — on cat(img1,img2) and, under no_grad, on
@@ -788,7 +797,7 @@ def fast_apply_pair(
     f2s = [sg(f) for f in f2]
     bwd = _fast_decode(
         ps, f2s, f1s, displacement, warp_scales, normalize,
-        warp_align_corners, th, interpret, False)
+        warp_align_corners, th, interpret, False, q8=sg(q8) if q8 else None)
     return fwd, bwd
 
 

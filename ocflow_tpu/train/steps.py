@@ -210,9 +210,13 @@ def make_unsupervised_flow_step(hparams: dict):
             pc = cast_floating(params, cdt) if cdt is not None else params
             xi = cast_floating(imgs, cdt) if cdt is not None else imgs
             fmesh = hparams.get("_fast_mesh")  # test hook: pin the mesh
+            # Optional W8A8 for the no-grad backward decode (extension):
+            # hparams['q8_backward'] = calibrate_q8(...) scales. The
+            # gradient-carrying forward stays full precision.
+            q8b = hparams.get("q8_backward")
             if occ_aware:
                 pair = maybe_fast_apply_pair(
-                    {"params": pc}, xi, diff=True, mesh=fmesh)
+                    {"params": pc}, xi, diff=True, mesh=fmesh, q8=q8b)
                 if pair is not None:
                     out, back_pair = pair
             else:
@@ -269,7 +273,8 @@ def make_unsupervised_flow_step(hparams: dict):
                 if cdt is not None:
                     sp = cast_floating(sp, cdt)
                     bi = cast_floating(bi, cdt)
-                fast = maybe_fast_apply({"params": sp}, bi)
+                fast = maybe_fast_apply(
+                    {"params": sp}, bi, q8=hparams.get("q8_backward"))
                 if fast is not None:
                     back_flow = fast[0].astype(back_in.dtype)
                     back_l2 = fast[1].astype(back_in.dtype)

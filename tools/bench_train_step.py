@@ -29,6 +29,8 @@ def main():
                     choices=["full", "half", "quarter"])
     ap.add_argument("--fast_forward", default="both",
                     choices=["both", "backward", "off"])
+    ap.add_argument("--q8_backward", action="store_true",
+                    help="W8A8 kernels for the no-grad backward decode")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -70,6 +72,13 @@ def main():
     # rounding realizations rather than a check.
     state = create_train_state(
         net, jax.random.PRNGKey(0), x[:1], optax.adam(0.0))
+    if args.q8_backward and on_tpu:
+        from ocflow_tpu.models.precision import cast_floating
+        from ocflow_tpu.models.pwc_fast import calibrate_q8
+
+        vb = {"params": cast_floating(state.params, jnp.bfloat16)}
+        hparams["q8_backward"] = jax.jit(calibrate_q8)(
+            vb, x.astype(jnp.bfloat16))
     train_step, _ = steps.make_unsupervised_flow_step(hparams)
     batch = {"images": x}
 
