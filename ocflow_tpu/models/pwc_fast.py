@@ -477,7 +477,11 @@ def calibrate_q8(
             up_flow = _deconv(flow, p[f"Deconv_{2 * i + 2}"])
             up_feat = _deconv(feat, p[f"Deconv_{2 * i + 3}"])
 
-    amax = lambda t: jnp.max(jnp.abs(t.astype(jnp.float32)))
+    # clamp: a degenerate (all-zero) calibration activation must not produce
+    # scale 0 — conv_group_q8 divides by s_out/s_in (the weight-scale guard
+    # in fold_quant_weights has the same 1e-30 floor)
+    amax = lambda t: jnp.maximum(
+        jnp.max(jnp.abs(t.astype(jnp.float32))), 1e-30)
 
     def growth_scales(dec, xin):
         # the fused path zero-pads the input to its 16/32-aligned stripe

@@ -742,14 +742,35 @@ def convert_checkpoint(path: str, network: str, out_path: str) -> None:
         sd = sd["state_dict"]
     # Lightning attribute prefixes: flow_pred (flow models, model.py:173-185),
     # generator/discriminator (inpainting stages, :531-545), occ_pred
-    # (two-stage, :948-954).
+    # (two-stage, :948-954). model./flow_pred. are unconditional wrappers;
+    # the ROLE prefixes select sub-modules of a combined checkpoint (a GAN
+    # ckpt holds generator.* AND discriminator.*) — keep only the role the
+    # requested network implies instead of merging the namespaces.
     sd = {
-        k.split(".", 1)[1]
-        if k.startswith(("model.", "flow_pred.", "generator.",
-                         "discriminator.", "occ_pred."))
-        else k: v
+        k.split(".", 1)[1] if k.startswith(("model.", "flow_pred.")) else k: v
         for k, v in sd.items()
     }
+    role_for = {
+        "inpainting": "generator.", "sanet": "generator.",
+        "sanet_org": "generator.",
+        "sa_discriminator": "discriminator.",
+        "sa_discriminator_org": "discriminator.",
+        "simple_occ": "occ_pred.", "occ_s": "occ_pred.",
+    }
+    present = {p for p in ("generator.", "discriminator.", "occ_pred.")
+               if any(k.startswith(p) for k in sd)}
+    if present:
+        want = role_for.get(network)
+        if want is None:
+            if len(present) > 1:
+                raise ValueError(
+                    f"checkpoint holds multiple sub-modules {sorted(present)}; "
+                    f"network '{network}' does not select one")
+            want = next(iter(present))
+        sd = {k[len(want):]: v for k, v in sd.items() if k.startswith(want)}
+        if not sd:
+            raise ValueError(
+                f"no '{want}*' keys in checkpoint (has {sorted(present)})")
     conv = {
         "flownetcv": convert_flownetcv,
         "pwc": convert_flownetcv,

@@ -593,8 +593,7 @@ def _pack_weights_q8(wq, cout_pad):
 
 
 def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
-                    stripe, offs, k_ranges, out_ids, has_b16, stored16,
-                    interpret):
+                    stripe, offs, k_ranges, out_ids, has_b16, stored16):
     """p3 chain over an int8 stripe S8 plus an optional bf16 side stripe
     S16 for non-q8 blocks that later specs read (e.g. the flow head feeding
     the up-flow phase conv). A spec's GEMM dtype follows its read stripe:
@@ -767,6 +766,9 @@ def conv_group_q8(
         assert len(kinds) == 1, "a GEMM cannot mix int8 and bf16 blocks"
         if stripe[s.reads[0]] == "b":
             assert all(bid in stored16 for bid in s.reads)
+            # a q8 spec reading the bf16 stripe would compute with ceil16
+            # cout padding while its int8 stripe slot is ceil32-wide
+            assert not s.q8, "q8 specs must read the int8 stripe"
         assert not (s.q8 and s.emit), "q8 blocks are internal; emits are bf16"
         assert s.q8 or s.emit or (1 + j) in stored16, (
             "a non-q8, non-emitted, never-read conv is dead")
@@ -814,7 +816,7 @@ def conv_group_q8(
         w_img=w_img, valid=tuple(valid), stripe=tuple(stripe),
         offs=tuple(offs), k_ranges=tuple(k_ranges),
         out_ids=tuple(out_ids), has_b16=bool(stored16),
-        stored16=stored16, interpret=interpret,
+        stored16=stored16,
     )
     vmem = pltpu.VMEM
     in_specs = (

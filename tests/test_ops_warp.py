@@ -119,3 +119,30 @@ def test_warp_grad_img_false_same_dflow(rng):
     dimg = jax.grad(
         lambda i: jnp.sum(warp(i, flow, grad_img=False) ** 2))(img)
     np.testing.assert_allclose(np.asarray(dimg), 0.0, atol=0)
+
+
+def test_warp_planar_tuple_flow_matches_stacked(rng):
+    """The planar (u, v) flow form (ADVICE r4: previously unexercised) is
+    semantically identical to the stacked [B,H,W,2] form, values and
+    flow gradients, under both align_corners modes."""
+    img = jnp.asarray(rng.standard_normal((2, 12, 16, 3)).astype(np.float32))
+    flow = jnp.asarray(
+        (rng.standard_normal((2, 12, 16, 2)) * 2).astype(np.float32))
+    u, v = flow[..., 0], flow[..., 1]
+    for ac in (True, False):
+        np.testing.assert_array_equal(
+            np.asarray(warp(img, (u, v), align_corners=ac)),
+            np.asarray(warp(img, flow, align_corners=ac)))
+
+    def loss_tuple(uu, vv):
+        return jnp.sum(warp(img, (uu, vv)) ** 2)
+
+    def loss_stacked(f):
+        return jnp.sum(warp(img, f) ** 2)
+
+    gu, gv = jax.grad(loss_tuple, argnums=(0, 1))(u, v)
+    g = jax.grad(loss_stacked)(flow)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(g[..., 0]),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(g[..., 1]),
+                               atol=1e-6, rtol=1e-6)

@@ -547,3 +547,34 @@ def test_occlusion_net_c_parity(image_pair):
         t_occ = ref(_to_nchw(image_pair))
     j_occ = net.apply(variables, jnp.asarray(image_pair), train=False)
     assert np.abs(np.asarray(j_occ) - _from_nchw(t_occ)).max() < 1e-4
+
+
+def test_convert_checkpoint_combined_roles(tmp_path, image_pair):
+    """A combined Lightning checkpoint holding several sub-module namespaces
+    (the two-stage ckpt carries occ_pred.* next to inpainting weights,
+    model.py:948-954) must be filtered to the requested network's role
+    instead of merging namespaces (ADVICE r4)."""
+    from models.networks.simple_occlusion_net import (
+        SimpleOcclusionNet as TorchNet,
+    )
+
+    torch.manual_seed(3)
+    ref = TorchNet()
+    sd = {"occ_pred." + k: v for k, v in ref.state_dict().items()}
+    # foreign namespaces that previously merged in and broke the consumer
+    sd["generator.conv1.weight"] = torch.zeros(1)
+    sd["discriminator.conv1.weight"] = torch.zeros(1)
+    path = tmp_path / "combined.ckpt"
+    torch.save({"state_dict": sd}, path)
+    npz = tmp_path / "occ.npz"
+    torch_convert.convert_checkpoint(str(path), "simple_occ", str(npz))
+    variables = torch_convert.npz_to_variables(str(npz))
+    direct = torch_convert.convert_simple_occlusion_net(ref.state_dict())
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, jax.tree_util.tree_map(np.asarray, direct))
+    # a roleless network name against a multi-role checkpoint must raise
+    with pytest.raises(ValueError):
+        torch_convert.convert_checkpoint(
+            str(path), "flownetcv", str(tmp_path / "x.npz"))
