@@ -17,8 +17,20 @@ from ocflow_tpu.ops.pooling import max_pool_2x2, max_pool_2x2_with_argmax, max_u
 from ocflow_tpu.ops.resize import resize_bilinear
 
 
+class ChannelPReLU(nn.Module):
+    """Per-channel PReLU (torch ``nn.PReLU(num_parameters=C)``; flax's
+    ``nn.PReLU`` is a single shared slope). Init 0.25 like torch."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param(
+            "negative_slope", nn.initializers.constant(0.25),
+            (x.shape[-1],))
+        return jnp.where(x >= 0, x, a * x)
+
+
 class InitialBlock(nn.Module):
-    """cat(maxpool(x), conv_s2(x)) → BN → PReLU (reference :6-23)."""
+    """cat(maxpool(x), conv_s2(x)) → BN → PReLU(16) (reference :6-23)."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -26,7 +38,7 @@ class InitialBlock(nn.Module):
         pooled = max_pool_2x2(x)
         out = jnp.concatenate([pooled, conv], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9)(out)
-        return nn.PReLU()(out)
+        return ChannelPReLU()(out)
 
 
 class BottleNeck(nn.Module):
@@ -76,7 +88,13 @@ class BottleNeck(nn.Module):
             y = nn.PReLU()(bn(y))
             y = nn.Conv(inter, (5, 1), padding=((2, 2), (0, 0)))(y)
         elif self.upsample:
-            y = nn.ConvTranspose(inter, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(y)
+            # torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) is the
+            # flax transpose with EXPLICIT ((1, 2), (1, 2)) padding — SAME
+            # is one pixel shifted (verified numerically; round-5 parity
+            # bug found by the EFlowNet golden). Odd out_size = op 0: the
+            # slice drops the output_padding row/col.
+            y = nn.ConvTranspose(inter, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)), use_bias=False)(y)
             if out_size is not None:
                 y = y[:, : out_size[0], : out_size[1]]
         else:

@@ -30,7 +30,12 @@ class FPNUp(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2), padding="SAME")(x)
+        # torch ConvTranspose2d(k=3, s=2, p=1, output_size=skip) == flax
+        # transpose with explicit ((1, 2), (1, 2)) padding (SAME is one
+        # pixel shifted — round-5 parity bug found by the FPN goldens);
+        # the slice drops the output_padding row/col at odd skip sizes
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)))(x)
         x = x[:, : skip.shape[1], : skip.shape[2]]
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = leaky_relu(x)
@@ -84,8 +89,11 @@ class OpticalFlowEstimator(nn.Module):
         flow = nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)))(feat)
         if self.highest_resolution:
             return flow, feat
-        flow_up = nn.ConvTranspose(2, (3, 3), strides=(2, 2), padding="SAME")(flow)
-        feat_up = nn.ConvTranspose(2, (3, 3), strides=(2, 2), padding="SAME")(feat)
+        # torch k3/s2/p1/op1 transpose == explicit ((1, 2), (1, 2)) padding
+        flow_up = nn.ConvTranspose(2, (3, 3), strides=(2, 2),
+                                   padding=((1, 2), (1, 2)))(flow)
+        feat_up = nn.ConvTranspose(2, (3, 3), strides=(2, 2),
+                                   padding=((1, 2), (1, 2)))(feat)
         return flow, flow_up, feat_up
 
 
@@ -104,10 +112,13 @@ class OcclusionEstimator(nn.Module):
         if self.highest_resolution:
             return nn.sigmoid(10.0 * occ)
         occ = nn.sigmoid(occ)
+        # torch k3/s2/p1/op1 transpose == explicit ((1, 2), (1, 2)) padding
         feat_up = nn.sigmoid(
-            nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME")(feat)
+            nn.ConvTranspose(1, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)))(feat)
         )
         occ_up = nn.sigmoid(
-            nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME")(occ)
+            nn.ConvTranspose(1, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)))(occ)
         )
         return occ, occ_up, feat_up

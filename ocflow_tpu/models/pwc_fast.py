@@ -168,6 +168,74 @@ def _ceil16(c: int) -> int:
     return (c + 15) // 16 * 16
 
 
+def _ceil32(c: int) -> int:
+    return (c + 31) // 32 * 32
+
+
+def _encoder_fused_q8(params, x, q8e, th=None, interpret=False):
+    """W8A8 SiameseEncoder: each level (stride-2 conv + pair) is one
+    ``conv_group_q8`` call in stride-2/im2col int8 mode.
+
+    The win is on the MXU contraction dim: int8 feeds 2x the K per pass, so
+    the K=192..864 level GEMMs drop 1.5-2x in passes (the cout<=128 rows
+    stay underfilled either way — that part int8 cannot fix, PERF.md). The
+    input images quantize near-losslessly (8-bit sources on [-1, 1]); each
+    level's output codes ship int8 to the NEXT level (no bf16 round trip)
+    and dequantize once for the XLA-side consumers (warps, cost volumes,
+    rest concat).
+
+    ``q8e``: {'in': s_img, 'levels': [[s_s2, s_c1, s_c2] x 6]} from
+    :func:`calibrate_q8`. Returns bf16 feature pyramids like ``_encoder``.
+    """
+    feats = []
+    cur_scale = q8e["in"]
+    codes = quantize_q8(x, cur_scale)  # NHWC int8
+    for lvl in range(6):
+        cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
+        cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
+        cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
+        b, h_in, w_in, c_in = codes.shape
+        h, w = h_in // 2, w_in // 2
+        c = cb0["kernel"].shape[3]
+        pack = _decoder_pack(b, w)
+        lw = q8e["levels"][lvl]
+        if pack is not None:
+            ws = [[cb0["kernel"]], [cb1["kernel"]], [cb2["kernel"]]]
+            bs = [cb0["bias"], cb1["bias"], cb2["bias"]]
+            specs = [
+                ConvSpec(reads=(0,), cout=c, im2col=True, stride=2, q8=True),
+                ConvSpec(reads=(1,), cout=c, im2col=True, q8=True),
+                ConvSpec(reads=(2,), cout=c, im2col=True, q8=True,
+                         emit=True),
+            ]
+            tt = th if (th and h % th == 0) else _enc_tile(
+                h, w * pack, 6 * _ceil32(2 * c_in), 9 * _ceil32(c))
+            xp = nhwc_to_flat(codes.reshape(b, h_in, w, 2 * c_in),
+                              c_pad=_ceil32(2 * c_in))
+            if pack > 1:
+                xp = pack_lanes(xp, h_in, w, pack)
+            (out,) = conv_group_q8(
+                xp, cur_scale, ws, bs, specs, list(lw), h, w * pack,
+                th=tt, w_img=w if pack > 1 else None, in_stride=2,
+                interpret=interpret)
+            if pack > 1:
+                out = unpack_lanes(out, h, w, pack)
+            cur_scale = lw[2]
+            codes = flat_to_nhwc(out, h, w, c)  # int8 NHWC
+            feats.append(codes.astype(jnp.bfloat16) * cur_scale)
+        else:
+            # narrow coarse level unusable by the kernel: bf16 XLA convs on
+            # the dequantized features, re-quantized for any later level
+            xb = codes.astype(jnp.bfloat16) * cur_scale
+            xb = _conv(xb, cb0["kernel"], cb0["bias"], stride=2)
+            xb = _conv(xb, cb1["kernel"], cb1["bias"])
+            xb = _conv(xb, cb2["kernel"], cb2["bias"])
+            feats.append(xb)
+            cur_scale = lw[2]
+            codes = quantize_q8(xb, cur_scale)
+    return feats
+
+
 def _dense_decoder_xla(params, x):
     """DenseDecoder via plain XLA convs on the concatenated features."""
     for j in range(5):
@@ -429,6 +497,47 @@ def _fused_level2_q8(dec_params, ctx_params, xf, xf_shape, q8,
     return flow_f, y
 
 
+def _ctx_q8_chain(ctx_params, y_f, q8c, h, w, th, interpret=False):
+    """Dilated context chain (convs 2..5 + tail + residual flow head,
+    reference cost_volume_flow_net.py:138-152) as ONE W8A8 p3 conv group on
+    the FLAT layout.
+
+    The bf16 path runs these in XLA NHWC (74-213 TFLOP/s, ~2 ms at B=8 —
+    PERF.md round-3 per-conv profile); int8 moves the d=2/4 128-ch convs to
+    the int8 MXU (~2x) AND skips the flat->NHWC->flat round trip of ``y``
+    entirely. The halo recompute that killed the round-3 bf16 fused-chain
+    attempt (R/th up to 2.9x) is priced differently here: the chain's 32-row
+    halo costs ~1.9x FLOPs at th=56, but at 2x int8 rate + zero layout ops
+    the measured trade flips (numbers in PERF.md round-5).
+
+    ``y_f``: flat [B, 128, H*W] bf16 (context conv 1's output from the L2
+    kernel). Returns the residual-flow flat block [B, 16, H*W] bf16
+    (channels 2..15 zero) to add to the fused flow head's output."""
+    # im2col, not p3: the chain's single-block reads give per-dy K=128
+    # GEMMs in p3 mode, and int8 buys NOTHING at K <= 128 (one MXU
+    # contraction pass either way — measured neutral, PERF.md round-5);
+    # im2col restores K = 9*128 = 1152 where int8 halves the passes.
+    weights, biases, specs, scales = [], [], [], []
+    for j, (g, dd) in enumerate(_CTX[1:], start=1):
+        cb = ctx_params[f"ConvBlock_{j}"]["Conv_0"]
+        weights.append([cb["kernel"]])
+        biases.append(cb["bias"])
+        specs.append(ConvSpec(reads=(j - 1,), cout=g, dilation=dd, q8=True,
+                              im2col=True))
+        scales.append(q8c["chain"][j - 1])
+    pfc = ctx_params["PredictFlow_0"]["Conv_0"]
+    weights.append([pfc["kernel"]])
+    biases.append(pfc["bias"])
+    specs.append(ConvSpec(reads=(len(_CTX) - 1,), cout=2, act=False,
+                          emit=True, im2col=True))
+    scales.append(None)
+    yq = quantize_q8(y_f[:, :128], q8c["in"])
+    (res_f,) = conv_group_q8(
+        yq, q8c["in"], weights, biases, specs, scales, h, w, th=th,
+        interpret=interpret)
+    return res_f
+
+
 def calibrate_q8(
     variables: Any,
     x: jax.Array,
@@ -436,13 +545,21 @@ def calibrate_q8(
     warp_scales=(0.625, 1.25, 2.5, 5.0),
     normalize: bool = True,
     warp_align_corners: bool = False,
+    encoder: bool = False,
+    ctx: bool = False,
 ):
-    """Static W8A8 calibration for the L2 fused block.
+    """Static W8A8 calibration for the fused decoder blocks.
 
     Replays the decode in plain XLA on ``x`` (a representative batch) and
-    records max-abs of the L2 decoder input and each growth conv output.
+    records max-abs of each decoder input and growth conv output.
     Returns the scales pytree ``fast_apply(..., q8=...)`` consumes — wrap
     in jit; run once per weight set.
+
+    ``encoder``/``ctx`` additionally emit scales for the W8A8 encoder and
+    context chain. Both are OFF by default: measured perf dead ends on v5e
+    (PERF.md round-5 — the ctx chain's p3 GEMMs have K=128 where int8 buys
+    nothing and its im2col rhs build is VPU-bound; the int8 encoder loses
+    ~6 ms to layout glue), kept as opt-in paths for other parts/shapes.
     """
     p = variables["params"]
     im1, im2 = x[..., :3], x[..., 3:]
@@ -500,6 +617,36 @@ def calibrate_q8(
         for k, v in level_inputs.items()
     }
     scales["dec4"] = growth_scales(p["DenseDecoder_4"], xcat)
+
+    if ctx:
+        # context-chain scales (dilated chain + tail): replay context conv 1
+        # on the L2 concat, then the chain
+        _, feat4 = _dense_decoder_xla(p["DenseDecoder_4"], xcat)
+        ctxp = p["ContextNetwork_0"]
+        cb0 = ctxp["ConvBlock_0"]["Conv_0"]
+        y = _conv(feat4, cb0["kernel"], cb0["bias"])
+        ctx_sc = {"in": amax(y) / 127.0, "chain": []}
+        for j, (g, dd) in enumerate(_CTX[1:], start=1):
+            cb = ctxp[f"ConvBlock_{j}"]["Conv_0"]
+            y = _conv(y, cb["kernel"], cb["bias"], dilation=dd)
+            ctx_sc["chain"].append(amax(y) / 127.0)
+        scales["ctx"] = ctx_sc
+
+    if encoder:
+        # encoder scales (per-conv amax of an XLA replay; the input images
+        # are 8-bit sources on [-1, 1] so input quantization is ~lossless)
+        xe = jnp.concatenate([im1, im2], axis=0)
+        enc_sc = {"in": amax(xe) / 127.0, "levels": []}
+        pe = p["SiameseEncoder_0"]
+        for lvl in range(6):
+            lw = []
+            for jc in range(3):
+                cb = pe[f"ConvBlock_{lvl * 3 + jc}"]["Conv_0"]
+                xe = _conv(xe, cb["kernel"], cb["bias"],
+                           stride=2 if jc == 0 else 1)
+                lw.append(amax(xe) / 127.0)
+            enc_sc["levels"].append(lw)
+        scales["enc"] = enc_sc
     return scales
 
 
@@ -582,6 +729,14 @@ def _fused_level2(dec_params, ctx_params, xcat, th=16, interpret=False,
         flow_f, y = _fused_level2_q8(
             dec_params, ctx_params, xf, (b, h, w, c0), q8, th=th or 56,
             interpret=interpret)
+        if "ctx" in q8:
+            # the chain's halo (sum of dilations + tail = 32 rows) needs
+            # th >= 32; fall back to one whole-H tile below that
+            tc = _tile_for(h, th)
+            res_f = _ctx_q8_chain(
+                ctx_params, y, q8["ctx"], h, w,
+                th=tc if tc >= 32 else h, interpret=interpret)
+            return flat_to_nhwc(flow_f + res_f, h, w, 2)
     else:
         flow_f, y = conv_group(
             [xf], weights, biases, specs, h, w, th=th, interpret=interpret)
@@ -731,9 +886,14 @@ def fast_apply(
     # adjoint at cat-batch 16 (PERF.md "Adjoint comparisons") — the fused
     # kernels only win at decode.
     if fuse_encoder and not diff:
-        both = _encoder_fused(
-            p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0),
-            th=th, interpret=interpret)
+        cat = jnp.concatenate([im1, im2], axis=0)
+        if q8 is not None and "enc" in q8:
+            both = _encoder_fused_q8(
+                p["SiameseEncoder_0"], cat, q8["enc"], th=th,
+                interpret=interpret)
+        else:
+            both = _encoder_fused(
+                p["SiameseEncoder_0"], cat, th=th, interpret=interpret)
     else:
         both = _encoder(p["SiameseEncoder_0"], jnp.concatenate([im1, im2], axis=0))
     f1 = [f[:b] for f in both]

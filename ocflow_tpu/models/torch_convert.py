@@ -251,6 +251,48 @@ def _proj_block(sd: _Consumer, prefix: str) -> tuple[dict, dict]:
     return params, stats
 
 
+def convert_flownetc(state_dict: Mapping[str, object], use_bn: bool = True) -> dict:
+    """Reference FlowNetC (flow_net_c.py:11-137) → flax variables for
+    ``ocflow_tpu.models.FlowNetC``.
+
+    The reference net is shape-broken (its correlation is called with the
+    default max_disp=4 → 81 channels against a 473-channel conv3_1,
+    flow_net_c.py:23,76); the repo's documented repair pins max_disp=10.
+    The converter maps the weights as-is — they are disp-agnostic."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    # flax construction order: enc1..enc3, then redir, conv3_1, conv4..6_1
+    convs = ["conv1", "conv2", "conv3", "conv_redir", "conv3_1", "conv4",
+             "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"]
+    for i, n in enumerate(convs):
+        block = {"Conv_0": _conv(sd, f"{n}.0", bias=not use_bn)}
+        if use_bn:
+            bn_p, bn_s = _bn(sd, f"{n}.1")
+            block["BatchNorm_0"] = bn_p
+            stats[f"ConvBlock_{i}"] = {"BatchNorm_0": bn_s}
+        params[f"ConvBlock_{i}"] = block
+
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        params[f"PredictFlow_{i}"] = {"Conv_0": _conv(sd, f"predict_flow{lvl}")}
+    # creation order per level: up-flow deconv (bias=True in torch,
+    # flow_net_c.py:44-47) then the feature deconv Sequential
+    pairs = [("upsampled_flow6_to_5", "deconv5"),
+             ("upsampled_flow5_to_4", "deconv4"),
+             ("upsampled_flow4_to_3", "deconv3"),
+             ("upsampled_flow3_to_2", "deconv2")]
+    for i, (up, dec) in enumerate(pairs):
+        params[f"Deconv_{2 * i}"] = {"ConvTranspose_0": _deconv(sd, up)}
+        params[f"Deconv_{2 * i + 1}"] = {"ConvTranspose_0": _deconv(sd, f"{dec}.0")}
+
+    sd.finish()
+    out = {"params": params}
+    if use_bn:
+        out["batch_stats"] = stats
+    return out
+
+
 def convert_simpleflownet(state_dict: Mapping[str, object]) -> dict:
     """Reference SimpleFlowNet (simple_flow_net.py:60-141) → flax variables
     for ``ocflow_tpu.models.SimpleFlowNet``."""
@@ -276,6 +318,251 @@ def convert_simpleflownet(state_dict: Mapping[str, object]) -> dict:
         }
 
     sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def _prelu(sd: _Consumer, name: str):
+    """torch nn.PReLU() (1 shared slope) → flax nn.PReLU scalar param."""
+    w = _np(sd.take(f"{name}.weight"))
+    assert w.shape == (1,), w.shape
+    return {"negative_slope": np.float32(w[0])}
+
+
+def _enet_bottleneck(sd: _Consumer, prefix: str, *, downsample=False,
+                     upsample=False, asymmetric=False, use_prelu=True
+                     ) -> tuple[dict, dict]:
+    """Reference ENet BottleNeck (efficient_flow_net.py:25-146) → the flax
+    ``BottleNeck``'s param/stat trees, per variant (construction order
+    documented in the flax module)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(i, name):
+        p, s = _bn(sd, name)
+        params[f"BatchNorm_{i}"] = p
+        stats[f"BatchNorm_{i}"] = s
+
+    def prelu(i, name):
+        if use_prelu:
+            params[f"PReLU_{i}"] = _prelu(sd, name)
+
+    if upsample:
+        assert not use_prelu, "reference upsample blocks use ReLU"
+        params["Conv_0"] = _conv(sd, f"{prefix}.spatil_conv", bias=False)
+        bn(0, f"{prefix}.bn_up")
+        params["Conv_1"] = _conv(sd, f"{prefix}.conv1", bias=False)
+        bn(1, f"{prefix}.bn1")
+        # flax ConvTranspose(use_bias=False): kernel only, no zeros bias
+        params["ConvTranspose_0"] = {
+            "kernel": _deconv_kernel(sd.take(f"{prefix}.conv2.weight"))}
+        bn(2, f"{prefix}.bn2")
+        params["Conv_2"] = _conv(sd, f"{prefix}.conv3", bias=False)
+        bn(3, f"{prefix}.bn3")
+        return params, stats
+
+    params["Conv_0"] = _conv(sd, f"{prefix}.conv1", bias=False)
+    bn(0, f"{prefix}.bn1")
+    prelu(0, f"{prefix}.prelu1")
+    if asymmetric:
+        params["Conv_1"] = _conv(sd, f"{prefix}.conv2.0")
+        bn(1, f"{prefix}.conv2.1")
+        prelu(1, f"{prefix}.conv2.2")
+        params["Conv_2"] = _conv(sd, f"{prefix}.conv2.3")
+        bn(2, f"{prefix}.bn2")
+        prelu(2, f"{prefix}.prelu2")
+        params["Conv_3"] = _conv(sd, f"{prefix}.conv3", bias=False)
+        bn(3, f"{prefix}.bn3")
+        prelu(3, f"{prefix}.prelu3")
+        prelu(4, f"{prefix}.prelu_out")
+    else:
+        params["Conv_1"] = _conv(sd, f"{prefix}.conv2", bias=False)
+        bn(1, f"{prefix}.bn2")
+        prelu(1, f"{prefix}.prelu2")
+        params["Conv_2"] = _conv(sd, f"{prefix}.conv3", bias=False)
+        bn(2, f"{prefix}.bn3")
+        prelu(2, f"{prefix}.prelu3")
+        prelu(3, f"{prefix}.prelu_out")
+    return params, stats
+
+
+_ENET_ENCODER_BLOCKS = (
+    # (torch name, kwargs) in flax _ENetEncoder construction order
+    [("bottleneck10", {"downsample": True})]
+    + [(f"bottleneck1{i}", {}) for i in range(1, 5)]
+    + [("bottleneck20", {"downsample": True})]
+    + [
+        (f"bottleneck{stage}{i}", kw)
+        for stage in (2, 3)
+        for i, kw in zip(
+            range(1, 9),
+            [{}, {}, {"asymmetric": True}, {}, {}, {},
+             {"asymmetric": True}, {}],
+        )
+    ]
+)
+
+
+def _convert_enet_encoder(sd: _Consumer) -> tuple[dict, dict]:
+    params: dict = {}
+    stats: dict = {}
+    init_p = {"Conv_0": _conv(sd, "initial.conv")}
+    bn_p, bn_s = _bn(sd, "initial.bn")
+    init_p["BatchNorm_0"] = bn_p
+    w16 = _np(sd.take("initial.prelu.weight"))
+    assert w16.shape == (16,), w16.shape
+    init_p["ChannelPReLU_0"] = {"negative_slope": w16}
+    params["InitialBlock_0"] = init_p
+    stats["InitialBlock_0"] = {"BatchNorm_0": bn_s}
+    for i, (name, kw) in enumerate(_ENET_ENCODER_BLOCKS):
+        p, s = _enet_bottleneck(sd, name, **kw)
+        params[f"BottleNeck_{i}"] = p
+        stats[f"BottleNeck_{i}"] = s
+    return params, stats
+
+
+def convert_eflownet(state_dict: Mapping[str, object]) -> dict:
+    """Reference EFlowNet (efficient_flow_net.py:147-246) → flax variables
+    for ``ocflow_tpu.models.EFlowNet``."""
+    sd = _Consumer(state_dict)
+    enc_p, enc_s = _convert_enet_encoder(sd)
+    params: dict = {"_ENetEncoder_0": enc_p}
+    stats: dict = {"_ENetEncoder_0": enc_s}
+    dec = [("bottleneck40", {"upsample": True, "use_prelu": False}),
+           ("bottleneck41", {"use_prelu": False}),
+           ("bottleneck42", {"use_prelu": False}),
+           ("bottleneck50", {"upsample": True, "use_prelu": False}),
+           ("bottleneck51", {"use_prelu": False})]
+    for i, (name, kw) in enumerate(dec):
+        p, s = _enet_bottleneck(sd, name, **kw)
+        params[f"BottleNeck_{i}"] = p
+        stats[f"BottleNeck_{i}"] = s
+    params["PredictFlow_0"] = {"Conv_0": _conv(sd, "predict_flow")}
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_eflownet2(state_dict: Mapping[str, object]) -> dict:
+    """Reference EFlowNet2 (efficient_flow_net.py:248-360) → flax variables
+    for ``ocflow_tpu.models.EFlowNet2``."""
+    sd = _Consumer(state_dict)
+    enc_p, enc_s = _convert_enet_encoder(sd)
+    params: dict = {"_ENetEncoder_0": enc_p}
+    stats: dict = {"_ENetEncoder_0": enc_s}
+    params["PredictFlow_0"] = {"Conv_0": _conv(sd, "predict_flow3")}
+    dec = [("bottleneck40", {"upsample": True, "use_prelu": False}),
+           ("bottleneck41", {"use_prelu": False}),
+           ("bottleneck42", {"use_prelu": False}),
+           ("bottleneck50", {"upsample": True, "use_prelu": False}),
+           ("bottleneck51", {"use_prelu": False})]
+    for i, (name, kw) in enumerate(dec):
+        p, s = _enet_bottleneck(sd, name, **kw)
+        params[f"BottleNeck_{i}"] = p
+        stats[f"BottleNeck_{i}"] = s
+    params["PredictFlow_1"] = {"Conv_0": _conv(sd, "predict_flow4")}
+    params["PredictFlow_2"] = {"Conv_0": _conv(sd, "predict_flow5")}
+    sd.finish()
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_fpn(sd: _Consumer, prefix: str = "feature_pyramid_network"
+                 ) -> tuple[dict, dict]:
+    """Reference FeaturePyramidNet (feature_pyramid_net.py:47-93) → the flax
+    ``FeaturePyramidNet`` param/stat trees."""
+    params: dict = {}
+    stats: dict = {}
+    for i in range(6):
+        dc_p: dict = {}
+        dc_s: dict = {}
+        for j, (ci, bi) in enumerate(((0, 1), (3, 4))):
+            bn_p, bn_s = _bn(sd, f"{prefix}.layer{i + 1}.double_conv.{bi}")
+            dc_p[f"ConvBlock_{j}"] = {
+                "Conv_0": _conv(sd, f"{prefix}.layer{i + 1}.double_conv.{ci}",
+                                bias=False),
+                "BatchNorm_0": bn_p,
+            }
+            dc_s[f"ConvBlock_{j}"] = {"BatchNorm_0": bn_s}
+        params[f"DoubleConv_{i}"] = dc_p
+        stats[f"DoubleConv_{i}"] = dc_s
+    bn_p, bn_s = _bn(sd, f"{prefix}.pyr_top.1")
+    params["ConvBlock_0"] = {
+        "Conv_0": _conv(sd, f"{prefix}.pyr_top.0", bias=False),
+        "BatchNorm_0": bn_p,
+    }
+    stats["ConvBlock_0"] = {"BatchNorm_0": bn_s}
+    for i, lvl in enumerate((5, 4, 3, 2)):
+        bn_p, bn_s = _bn(sd, f"{prefix}.upsample{lvl}.batchnorm")
+        params[f"FPNUp_{i}"] = {
+            "ConvTranspose_0": _deconv(sd, f"{prefix}.upsample{lvl}.deconv"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"FPNUp_{i}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def _convert_flow_estimator(sd: _Consumer, prefix: str, highest: bool) -> dict:
+    """Reference OpticalFlowEstimator (flow_net.py:11-37)."""
+    p = {f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"{prefix}.conv{j + 1}")}
+         for j in range(5)}
+    p["Conv_0"] = _conv(sd, f"{prefix}.conv6")
+    if not highest:
+        p["ConvTranspose_0"] = _deconv(sd, f"{prefix}.upconv1")
+        p["ConvTranspose_1"] = _deconv(sd, f"{prefix}.upconv2")
+    return p
+
+
+def _convert_context_net(sd: _Consumer, prefix: str = "context_network") -> dict:
+    """Reference ContextNetwork (context_net.py:5-27)."""
+    p = {f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"{prefix}.conv{j + 1}")}
+         for j in range(6)}
+    p["Conv_0"] = _conv(sd, f"{prefix}.conv7")
+    return p
+
+
+def convert_flownet_fpn(state_dict: Mapping[str, object]) -> dict:
+    """Reference FlowNet (flow_net.py:39-131, the FPN-trunk PWC variant) →
+    flax variables for ``ocflow_tpu.models.FlowNet``. The highest-res
+    estimator's upconv1/upconv2 are dead weights in the reference (created
+    but unused on the last level, flow_net.py:22-23,33)."""
+    sd = _Consumer(state_dict)
+    fp, fs = _convert_fpn(sd)
+    params: dict = {"FeaturePyramidNet_0": fp}
+    stats: dict = {"FeaturePyramidNet_0": fs}
+    for i in range(5):
+        params[f"OpticalFlowEstimator_{i}"] = _convert_flow_estimator(
+            sd, f"opticalflow_estimators.{i}", highest=(i == 4))
+    params["ContextNetwork_0"] = _convert_context_net(sd)
+    sd.finish(allow_unused=("opticalflow_estimators.4.upconv",))
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_occ_estimator(sd: _Consumer, prefix: str, highest: bool) -> dict:
+    """Reference OcclusionEstimator (flow_occ_net.py:39-68)."""
+    names = ["conv1", "conv2", "conv3", "conv4", "feat_layer"]
+    p = {f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"{prefix}.{n}")}
+         for j, n in enumerate(names)}
+    p["Conv_0"] = _conv(sd, f"{prefix}.mask_layer")
+    if not highest:
+        p["ConvTranspose_0"] = _deconv(sd, f"{prefix}.upconv1")
+        p["ConvTranspose_1"] = _deconv(sd, f"{prefix}.upconv2")
+    return p
+
+
+def convert_flow_occ_net_fpn(state_dict: Mapping[str, object]) -> dict:
+    """Reference FlowOccNet (flow_occ_net.py:69-189, FPN joint flow+occ) →
+    flax variables for ``ocflow_tpu.models.FlowOccNet``. Same dead highest-
+    res upconvs as convert_flownet_fpn, on both estimator towers."""
+    sd = _Consumer(state_dict)
+    fp, fs = _convert_fpn(sd)
+    params: dict = {"FeaturePyramidNet_0": fp}
+    stats: dict = {"FeaturePyramidNet_0": fs}
+    for i in range(5):
+        params[f"OcclusionEstimator_{i}"] = _convert_occ_estimator(
+            sd, f"occlusion_estimators.{i}", highest=(i == 4))
+        params[f"OpticalFlowEstimator_{i}"] = _convert_flow_estimator(
+            sd, f"opticalflow_estimators.{i}", highest=(i == 4))
+    params["ContextNetwork_0"] = _convert_context_net(sd)
+    sd.finish(allow_unused=("opticalflow_estimators.4.upconv",
+                            "occlusion_estimators.4.upconv"))
     return {"params": params, "batch_stats": stats}
 
 
@@ -481,6 +768,61 @@ def convert_flow_occ_net_cv(state_dict: Mapping[str, object]) -> dict:
         dec["PredictFlow_0"] = {"Conv_0": _conv(sd, f"predict_flow{lvl}")}
         dec["PredictOcc_0"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
         params[f"_DenseFlowOccDecoder_{i}"] = dec
+        if lvl > 2:
+            params[f"Deconv_{3 * i}"] = {
+                "ConvTranspose_0": _deconv(sd, f"upflow{lvl}")}
+            params[f"Deconv_{3 * i + 1}"] = {
+                "ConvTranspose_0": _deconv(sd, f"upocc{lvl}")}
+            params[f"Deconv_{3 * i + 2}"] = {
+                "ConvTranspose_0": _deconv(sd, f"upfeat{lvl}")}
+
+    ctx = {
+        f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"dc_conv{j + 1}.0")}
+        for j in range(6)
+    }
+    ctx["Conv_0"] = _conv(sd, "dc_conv7")
+    params["ContextNetwork_0"] = ctx
+
+    sd.finish()
+    return {"params": params}
+
+
+def convert_flow_occ_net_cv2(state_dict: Mapping[str, object]) -> dict:
+    """Reference FlowOccNetCV2 (cost_volume_flow_occ_net.py:273-553) → flax
+    variables for ``ocflow_tpu.models.FlowOccNetCV2``.
+
+    The reference net is DOUBLY broken: the missing CostVolumeLayer import
+    plus a forward that references never-defined ``conv{L}_j`` towers while
+    its __init__ builds separate ``fe{L}_j``/``oe{L}_j`` flow/occ towers
+    (:308-318 vs :474-478). Goldens run a minimally-repaired torch mirror
+    that wires the declared separate towers (the repo's documented repair,
+    tests/test_models_semantics.py::test_flowoccnetcv2_towers_are_separate);
+    the converter maps those tower weights."""
+    sd = _Consumer(state_dict)
+    params: dict = {}
+
+    enc_names = []
+    for lvl in range(1, 6):
+        enc_names += [f"conv{lvl}a", f"conv{lvl}aa", f"conv{lvl}b"]
+    enc_names += ["conv6aa", "conv6a", "conv6b"]
+    params["SiameseEncoder_0"] = {
+        f"ConvBlock_{i}": {"Conv_0": _conv(sd, f"{n}.0")}
+        for i, n in enumerate(enc_names)
+    }
+
+    # decoder creation order: flow tower ConvBlock_0..4 + PredictFlow_0,
+    # occ tower ConvBlock_5..9 + PredictOcc_0 (_SeparateFlowOccDecoder),
+    # then (lvl>1) the upflow/upocc/upfeat deconv triplet
+    for i, lvl in enumerate((6, 5, 4, 3, 2)):
+        dec = {
+            f"ConvBlock_{j}": {"Conv_0": _conv(sd, f"fe{lvl}_{j}.0")}
+            for j in range(5)
+        }
+        dec["PredictFlow_0"] = {"Conv_0": _conv(sd, f"predict_flow{lvl}")}
+        for j in range(5):
+            dec[f"ConvBlock_{5 + j}"] = {"Conv_0": _conv(sd, f"oe{lvl}_{j}.0")}
+        dec["PredictOcc_0"] = {"Conv_0": _conv(sd, f"predict_occ{lvl}.0")}
+        params[f"_SeparateFlowOccDecoder_{i}"] = dec
         if lvl > 2:
             params[f"Deconv_{3 * i}"] = {
                 "ConvTranspose_0": _deconv(sd, f"upflow{lvl}")}

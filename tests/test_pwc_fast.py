@@ -537,3 +537,130 @@ def test_fast_apply_q8_close_to_bf16():
     scale = np.abs(np.asarray(exact_q)).max() + 1e-6
     err = np.abs(np.asarray(q8_q) - np.asarray(exact_q)).max()
     assert err / scale < 0.05, (err, scale)
+
+
+def test_conv_group_q8_s2_im2col_exact_vs_emulation():
+    """q8 stride-2 + im2col chain (the W8A8 encoder level) in interpret
+    mode == pure-JAX integer emulation: identical fold/quantize/epilogue,
+    int8 codes chained level-internally."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import (
+        conv_group_q8, fold_quant_weights, quantize_q8, _ceil32)
+
+    rng = np.random.default_rng(5)
+    B, H2, W2 = 2, 16, 256  # input 16x256 -> output 8x128
+    H, W = H2 // 2, W2 // 2
+    cin, c = 6, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H2, W2, cin)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(3, 3, cin, c)) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+    s_in = jnp.float32(1.0 / 127.0)
+    s0 = jnp.float32(0.02)
+    s1 = jnp.float32(0.02)
+
+    specs = [ConvSpec(reads=(0,), cout=c, im2col=True, stride=2, q8=True),
+             ConvSpec(reads=(1,), cout=c, im2col=True, q8=True, emit=True)]
+    codes = quantize_q8(x, s_in)
+    xp = nhwc_to_flat(codes.reshape(B, H2, W, 2 * cin),
+                      c_pad=_ceil32(2 * cin))
+    (out,) = conv_group_q8(
+        xp, s_in, [[w0], [w1]], [b0, b1], specs, [s0, s1],
+        H, W, th=4, in_stride=2, interpret=True)
+    assert out.dtype == jnp.int8
+    got = np.asarray(flat_to_nhwc(out, H, W, c)).astype(np.float32) * s1
+
+    # emulation: stride-2 then stride-1 int32 convs on the codes
+    def iconv(codes_nhwc, wq, stride=1):
+        return jax.lax.conv_general_dilated(
+            codes_nhwc.astype(jnp.int32), wq.astype(jnp.int32),
+            (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def requant(acc_i, wscale, bias, s_out):
+        a = acc_i.astype(jnp.float32) * (wscale / s_out) + jnp.pad(
+            bias, (0, wscale.shape[0] - bias.shape[0])) / s_out
+        a = jnp.where(a >= 0, a, a * 0.1)
+        return jnp.clip(jnp.round(a), -127, 127).astype(jnp.int8)
+
+    wq0, ws0 = fold_quant_weights([w0], [s_in], _ceil32(c), [cin])
+    c1 = requant(iconv(codes, wq0, stride=2), ws0, b0, s0)  # ceil32-wide
+    wq1, ws1 = fold_quant_weights([w1], [s0], _ceil32(c), [_ceil32(c)])
+    c2 = requant(iconv(c1, wq1), ws1, b1, s1)
+    ref = np.asarray(c2[..., :c]).astype(np.float32) * s1
+
+    # codes may differ by 1 where round() sits on a .5 boundary realized
+    # differently through the two f32 epilogues (measured 1/32768 elements)
+    diff_codes = np.abs(got - ref) / float(s1)
+    assert diff_codes.max() <= 1.0 + 1e-5, diff_codes.max()
+    assert (diff_codes > 0.5).mean() < 1e-3
+
+
+def test_conv_group_q8_dilated_chain_exact_vs_emulation():
+    """q8 p3 chain with dilations (the W8A8 context chain) in interpret
+    mode == integer emulation."""
+    from ocflow_tpu.ops.pallas.conv_chain_kernel import (
+        conv_group_q8, fold_quant_weights, quantize_q8, _ceil32)
+
+    rng = np.random.default_rng(6)
+    B, H, W = 2, 16, 128
+    c0 = 32
+    x = jnp.asarray(rng.normal(size=(B, H, W, c0)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, c0, 32)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 32, 8)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+
+    s_in = jnp.float32(np.abs(np.asarray(x)).max() / 127.0)
+    s1 = jnp.float32(0.05)
+
+    specs = [ConvSpec(reads=(0,), cout=32, dilation=2, q8=True),
+             ConvSpec(reads=(1,), cout=8, dilation=4, act=False, emit=True)]
+    xq = quantize_q8(nhwc_to_flat(x), s_in)
+    (out,) = conv_group_q8(
+        xq, s_in, [[w1], [w2]], [b1, b2], specs, [s1, None],
+        H, W, th=16, interpret=True)
+    got = np.asarray(flat_to_nhwc(out, H, W, 8)).astype(np.float32)
+
+    def iconv(codes, wq, d):
+        return jax.lax.conv_general_dilated(
+            codes.astype(jnp.int32), wq.astype(jnp.int32), (1, 1),
+            ((d, d), (d, d)), rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    codes0 = quantize_q8(x, s_in)
+    wq1, ws1 = fold_quant_weights([w1], [s_in], _ceil32(32), [c0])
+    acc1 = iconv(codes0, wq1, 2).astype(jnp.float32) * (ws1 / s1) + b1_pad(
+        b1, s1)
+    acc1 = jnp.where(acc1 >= 0, acc1, acc1 * 0.1)
+    codes1 = jnp.clip(jnp.round(acc1), -127, 127).astype(jnp.int8)
+
+    wq2, ws2 = fold_quant_weights([w2], [s1], _ceil32(8), [_ceil32(32)])
+    acc2 = iconv(codes1, wq2, 4)
+    ref = acc2.astype(jnp.float32) * ws2 + jnp.pad(b2, (0, _ceil32(8) - 8))
+    ref = np.asarray(ref[..., :8])
+
+    np.testing.assert_allclose(got, ref, atol=np.abs(ref).max() * 8e-3)
+
+
+@pytest.mark.slow
+def test_fast_apply_q8_enc_ctx_close_to_bf16():
+    """Opt-in W8A8 encoder + context chain (perf dead ends on v5e, kept as
+    tested kernel modes): quantization noise stays bounded even with the
+    whole forward int8 on a random-init net (trained nets measure far
+    tighter — PERF.md W8A8 accuracy)."""
+    from ocflow_tpu.models.pwc_fast import calibrate_q8
+
+    rng = np.random.default_rng(4)
+    B, H, W = 2, 64, 512
+    net = FlowNetCV()
+    x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    scales = calibrate_q8(variables, x, encoder=True, ctx=True)
+    assert "enc" in scales and "ctx" in scales
+    exact_full, exact_q = fast_apply(variables, x, th=8, interpret=True)
+    q8_full, q8_q = fast_apply(variables, x, th=8, interpret=True, q8=scales)
+    scale = np.abs(np.asarray(exact_q)).max() + 1e-6
+    err = np.abs(np.asarray(q8_q) - np.asarray(exact_q)).max()
+    assert err / scale < 0.1, (err, scale)

@@ -95,3 +95,45 @@ def test_csv_logger_extends_header_for_new_keys(tmp_path):
     assert rows[0]["d_loss"] == "1.0" and rows[0]["loss"] == ""
     assert rows[1]["loss"] == "3.0" and rows[1]["rhole"] == "4.0"
     assert rows[2]["g_loss"] == "6.0"
+
+
+@pytest.mark.slow
+def test_train_cli_find_best_lr(tmp_path, monkeypatch, capsys):
+    """CLI wiring of the LR range test (reference --find_best_lr,
+    test.py:74-84): the trainer runs lr_find, prints and adopts the
+    suggestion, then fits from fresh state."""
+    import sys
+
+    import yaml
+
+    cfg = {
+        "network_type": "flow",
+        "model": "simple",
+        "dataset_name": "SyntheticFlow",
+        "image_size": [32, 64],
+        "batch_size": 8,
+        "num_workers": 0,
+        "max_epochs": 1,
+        "log_every_n_steps": 1,
+        "learning_rate": 1e-3,
+        "find_best_lr": True,
+        "log_dir": str(tmp_path / "tb"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "result_dir": str(tmp_path / "results"),
+        "extra_dataset_size": 16,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    sys.path.insert(0, "/root/repo")
+    import train as train_cli
+
+    monkeypatch.setattr(sys, "argv", ["train.py", "--config", str(cfg_path)])
+    train_cli.main()
+    out = capsys.readouterr().out
+    assert "find_best_lr suggestion:" in out
+    lr_line = [ln for ln in out.splitlines()
+               if "find_best_lr suggestion:" in ln][0]
+    suggested = float(lr_line.split(":")[1])
+    # the range test sweeps [1e-7, 1.0]; the suggestion must land inside
+    assert 1e-7 <= suggested <= 1.0

@@ -44,23 +44,38 @@ def main():
 
     if network_type == "flow":
         net = _flow_net(models, cfg)
-        state = create_train_state(net, rng, sample["images"][:1], tx)
         train_step, eval_step = steps.make_supervised_flow_step(hparams)
     elif network_type == "occ":
         net = models.build("occ", cfg.model)
-        state = create_train_state(net, rng, sample["images"][:1], tx)
         train_step, eval_step = steps.make_supervised_occ_step(hparams)
     elif network_type == "flow-occ":
         net = models.build("flow_occ", cfg.model)
-        state = create_train_state(net, rng, sample["images"][:1], tx)
         train_step, eval_step = steps.make_supervised_flow_occ_step(hparams)
     else:  # inpainting
         net = models.build("inpainting", cfg.model)
-        state = create_train_state(
-            net, rng, sample["images"][:1, ..., :3], tx, masks=sample["occ"][:1]
-        )
         train_step, eval_step = steps_inpainting.make_supervised_inpainting_step(hparams)
 
+    def build_state(tx_):
+        if network_type == "inpainting":
+            return create_train_state(
+                net, rng, sample["images"][:1, ..., :3], tx_,
+                masks=sample["occ"][:1])
+        return create_train_state(net, rng, sample["images"][:1], tx_)
+
+    if cfg.find_best_lr:
+        # LR range test before fitting, as the reference's --find_best_lr
+        # (test.py:74-84): sweep 100 steps, print the suggestion, adopt it,
+        # then train from FRESH state.
+        from ocflow_tpu.train.lr_finder import lr_find
+
+        suggested, _, _ = lr_find(
+            build_state, lambda: (train_step, eval_step), train_loader,
+            num_steps=100)
+        print("find_best_lr suggestion:", suggested)
+        cfg.learning_rate = suggested
+        tx = optax.adam(suggested)
+
+    state = build_state(tx)
     state = loop.fit(cfg, state, train_step, eval_step, train_loader, val_loader)
     results = loop.evaluate(cfg, state, eval_step, test_loader)
     print("test:", results)
