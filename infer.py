@@ -21,6 +21,11 @@ def main():
     parser.add_argument("--iext", default="png")
     parser.add_argument("--image_size", type=int, nargs=2, default=None)
     parser.add_argument("--save_flo", action="store_true")
+    parser.add_argument(
+        "--q8", action="store_true",
+        help="W8A8 serving (pwc + fused path only): int8 dense decoders, "
+             "calibrated on the first batch — +11%% throughput at ~+1%% "
+             "EPE on trained weights (PERF.md)")
     args = parser.parse_args()
 
     import numpy as np
@@ -47,13 +52,19 @@ def main():
         )
         variables = {**variables, "params": params}
 
+    q8 = None
+    if args.q8 and args.family == "flow" and args.model == "pwc":
+        from ocflow_tpu.models.pwc_fast import calibrate_q8
+
+        q8 = jax.jit(calibrate_q8)(variables, sample)
+
     @jax.jit
     def predict(x):
         if args.family == "flow" and args.model == "pwc":
             # fused Pallas serving path when shapes/backend allow
             from ocflow_tpu.models.pwc_fast import maybe_fast_apply
 
-            fast = maybe_fast_apply(variables, x)
+            fast = maybe_fast_apply(variables, x, q8=q8)
             if fast is not None:
                 return fast[0]
         out = net.apply(variables, x)

@@ -159,3 +159,33 @@ def test_classify_state_dict_signatures():
     }
     for want, keys in cases.items():
         assert caw.classify_state_dict(keys) == want, (want, keys)
+
+
+@pytest.mark.slow
+def test_infer_cli_smoke(tmp_path, monkeypatch):
+    """infer.py end to end on a tiny frame folder (flax fallback path on
+    CPU), incl. the --q8 flag (calibration runs; the fused gate falls back
+    off-TPU) and .flo dumps."""
+    import sys
+
+    import imageio.v2 as iio
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    r = np.random.default_rng(0)
+    for i in range(3):
+        iio.imwrite(frames / f"f_{i:02d}.png",
+                    r.integers(0, 255, (64, 128, 3), dtype=np.uint8))
+
+    sys.path.insert(0, "/root/repo")
+    import infer as infer_cli
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "infer.py", "--model", "pwc", "--input", str(frames),
+        "--output", str(out), "--save_flo", "--q8"])
+    infer_cli.main()
+    import os
+
+    assert sorted(os.listdir(out)) == [
+        "flow_00000.flo", "flow_00000.png", "flow_00001.flo", "flow_00001.png"]
