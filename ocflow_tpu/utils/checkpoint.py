@@ -75,10 +75,18 @@ def load_pytree(path: str, template: Any = None) -> Any:
 
 def load_subtree(path: str, keys: str | list[str], template: Any = None) -> Any:
     """Load a checkpoint and extract a nested subtree by '/'-separated path —
-    the TPU-native version of ``ckpt.flow_pred`` attribute surgery."""
-    tree = load_pytree(path, template)
+    the TPU-native version of ``ckpt.flow_pred`` attribute surgery.
+
+    The checkpoint may be LARGER than the template (e.g. a full TrainState
+    export or a combined stage checkpoint spliced for only its ``params``):
+    when the templated restore rejects the structure mismatch, fall back to
+    a raw restore and slice the subtree from it."""
     if isinstance(keys, str):
         keys = keys.split("/")
+    try:
+        tree = load_pytree(path, template)
+    except (ValueError, KeyError):
+        tree = load_pytree(path)
     for k in keys:
         tree = tree[k]
     return tree

@@ -52,3 +52,23 @@ def test_checkpoint_manager_best(tmp_path, rng):
     assert mgr.best_step == 1
     restored = mgr.restore(template=state)
     assert int(restored["step"]) == 1
+
+
+def test_load_subtree_from_larger_checkpoint(tmp_path, rng):
+    """A checkpoint larger than the template (full TrainState export, e.g.
+    the GAN generator checkpoint) must still yield its params subtree:
+    load_subtree falls back to a raw restore on structure mismatch."""
+    w = jnp.asarray(rng.standard_normal((4, 4)).astype(np.float32))
+    full = {
+        "step": jnp.asarray(7),
+        "params": {"Conv_0": {"kernel": w}},
+        "batch_stats": {},
+        "opt_state": {"m": jnp.zeros((4,), jnp.float32)},
+    }
+    path = str(tmp_path / "gan_gen")
+    ckpt.save_pytree(path, full)
+    params = ckpt.load_subtree(
+        path, "params",
+        template={"params": {"Conv_0": {"kernel": jnp.zeros_like(w)}}})
+    np.testing.assert_array_equal(np.asarray(params["Conv_0"]["kernel"]),
+                                  np.asarray(w))

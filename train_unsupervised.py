@@ -13,6 +13,7 @@ network_type dispatch:
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -252,6 +253,18 @@ def main():
 
     state = loop.fit(cfg, state, train_step, eval_step, train_loader,
                      val_loader, viz_fn=viz_fn)
+    if network_type == "inpainting" and cfg.adversarial_loss:
+        # GAN checkpoints are (gen_state, dis_state) tuples; ALSO export a
+        # generator-only checkpoint with the standard top-level "params"
+        # contract so two-stage splicing (inpainting_root -> load_subtree
+        # 'params', reference model.py:1133-1135) and evaluate.py work on
+        # GAN-trained inpainting the same as on stage-trained.
+        from ocflow_tpu.utils.checkpoint import save_pytree
+
+        gen_path = os.path.join(cfg.checkpoint_dir, "generator")
+        save_pytree(gen_path, {"params": state[0].params,
+                               "batch_stats": state[0].batch_stats})
+        print("generator checkpoint:", gen_path)
     results = loop.evaluate(cfg, state, eval_step, test_loader)
     print("test:", results)
 
