@@ -48,12 +48,19 @@ def ssim(img1, img2, window_size: int = 4, sigma: float = 1.5):
     kernel = jnp.tile(w, (1, 1, 1, c))  # depthwise: HWIO with I=1, O=C
 
     def conv(x):
+        # precision=HIGHEST is load-bearing on TPU: the default bf16
+        # multiplies make sigma = E[x^2] - mu^2 cancel catastrophically
+        # (negative variances ~1e-2), which flips SSIM denominators and
+        # produced impossible scores > 1 on real 448x1024 evals (round-5
+        # bug, caught by the absolute inpainting-quality run; CPU was
+        # always fp32-exact, matching the torch reference to 1e-4)
         return jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(1, 1),
             padding=[(window_size // 2, window_size // 2)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu1, mu2 = conv(img1), conv(img2)
