@@ -6,6 +6,10 @@ a table plus the residual vs the full forward — the "glue" (coarse levels,
 layout ops, normalize at coarse levels) that no micro row captures.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_fast_apply.py
+
+PROFILE_Q8=1 additionally profiles the W8A8 serving path (full forward +
+the two fine-level int8 kernels) with dummy scales — kernel speed is
+scale-independent, so this skips the calibrate_q8 compile.
 """
 
 from __future__ import annotations
@@ -55,9 +59,20 @@ def main():
     from ocflow_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    import os
+
+    q8_mode = os.environ.get("PROFILE_Q8", "0") == "1"
     ITERS = 20
     b, h, w = 8, 448, 1024
     rng = np.random.default_rng(0)
+
+    # dummy W8A8 scales: kernel speed is independent of scale VALUES, so
+    # the profile skips the calibrate_q8 replay compile
+    if q8_mode:
+        s = jnp.float32(0.05)
+        q8 = {f"dec{i}": {"in": s, "growth": [s] * 5} for i in range(5)}
+    else:
+        q8 = None
 
     net = FlowNetCV()
     x = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 6)), jnp.bfloat16)
@@ -89,6 +104,14 @@ def main():
         d = jnp.concatenate([flow, flow, flow], axis=-1)
         return c + d.astype(c.dtype) * 1e-6, None
     rows.append(("fast_apply (full)", timed(scan_chain(full_body), x, iters=ITERS)))
+
+    if q8_mode:
+        def full_q8_body(c):
+            flow, _ = pf.fast_apply(variables, c, q8=q8)
+            d = jnp.concatenate([flow, flow, flow], axis=-1)
+            return c + d.astype(c.dtype) * 1e-6, None
+        rows.append(("fast_apply (full, q8)",
+                     timed(scan_chain(full_q8_body), x, iters=ITERS)))
 
     # ---- encoder (cat batch 16) ----
     xe = jnp.concatenate([x[..., :3], x[..., 3:]], axis=0)
@@ -169,6 +192,31 @@ def main():
             return run_kernel(xf0 + s.astype(xf0.dtype)) * 1e-9, None
         t_kernel = timed(scan_chain(k_body), jnp.float32(0), iters=ITERS)
         rows.append((f"kernel {tag}", t_kernel))
+
+        if q8_mode:
+            if dec_key is None:
+                def run_kernel_q8(xf, hl=hl, wl=wl, c0=c0):
+                    fl2 = pf._fused_level2(
+                        p["DenseDecoder_4"], p["ContextNetwork_0"], None,
+                        th=pf._tile_for(hl, None), xf=xf,
+                        xf_shape=(b, hl, wl, c0), q8=q8["dec4"])
+                    return jnp.mean(fl2.astype(jnp.float32))
+            else:
+                def run_kernel_q8(xf, hl=hl, wl=wl, c0=c0, dec_key=dec_key,
+                                  up_keys=up_keys):
+                    up_fl, up_ft = pf._fused_dense_decoder_q8(
+                        p[dec_key], xf, (b, hl, wl, c0), q8["dec3"],
+                        p[up_keys[1]], p[up_keys[0]],
+                        th=pf._tile_for(hl, None))
+                    return (jnp.mean(up_fl.astype(jnp.float32))
+                            + jnp.mean(up_ft.astype(jnp.float32)))
+
+            def kq_body(carry, xf0=xf0, run_kernel_q8=run_kernel_q8):
+                sc = carry
+                return run_kernel_q8(xf0 + sc.astype(xf0.dtype)) * 1e-9, None
+            rows.append((f"kernel {tag} q8",
+                         timed(scan_chain(kq_body), jnp.float32(0),
+                               iters=ITERS)))
 
         # assembly timed IN CONTEXT: the Pallas call takes xf as a real
         # buffer operand, so the concat/transpose cannot be DCE'd/fused
