@@ -127,16 +127,51 @@ def _encoder_fused(params, x, th=None, interpret=False):
     kernel's even-row write-back. This replaced the XLA stride-2 convs that
     were the encoder's ~5 ms "floor" — the earlier phase-split and
     space-to-depth formulations lost to XLA-side layout copies (PERF.md
-    dead ends); this one adds NO layout work."""
+    dead ends); this one adds NO layout work.
+
+    Level 0 additionally runs W-PACKED (pack=2): its three convs compute
+    two image columns per lane (ConvSpec.pack), doubling the MXU row fill
+    of the chain's worst GEMMs (cout=16 → 32 rows) and halving their
+    streaming dim M. The packed output is EXACTLY the W-pair channel-packed
+    flat input level 1's stride-2 conv consumes, and level 0's output is
+    the one pyramid level no decoder/warp/CV ever reads (``_fast_decode``
+    uses f[1..5] only) — so the packing is consumed natively with ZERO
+    unpack transposes, side-stepping the exit-relayout poison that killed
+    the round-3 whole-encoder W-pack (PERF.md). ``feats[0]`` is then the
+    packed flat [B, 2c, H*(W/2)] sentinel, not NHWC."""
     feats = []
+    chain_flat = None  # level-0's packed flat output, consumed by level 1
     for lvl in range(6):
         cb0 = params[f"ConvBlock_{lvl * 3}"]["Conv_0"]
         cb1 = params[f"ConvBlock_{lvl * 3 + 1}"]["Conv_0"]
         cb2 = params[f"ConvBlock_{lvl * 3 + 2}"]["Conv_0"]
-        b, h_in, w_in, c_in = x.shape
+        b, h_in, w_in, c_in = x.shape  # lvl 1 after packed-L0: ShapeDtypeStruct
         h, w = h_in // 2, w_in // 2
         c = cb0["kernel"].shape[3]
         pack = _decoder_pack(b, w)
+        if lvl == 0 and w_in % 4 == 0 and (w_in // 4) % 128 == 0:
+            ws = [[cb0["kernel"]], [cb1["kernel"]], [cb2["kernel"]]]
+            bs = [jnp.concatenate([cb["bias"]] * 2)
+                  for cb in (cb0, cb1, cb2)]
+            specs = [
+                ConvSpec(reads=(0,), cout=2 * c, im2col=True, stride=2,
+                         pack=2),
+                ConvSpec(reads=(1,), cout=2 * c, im2col=True, pack=2),
+                ConvSpec(reads=(2,), cout=2 * c, im2col=True, pack=2,
+                         emit=True),
+            ]
+            wl = w // 2  # packed lanes: W_out/2 == W_in/4
+            tt = th if (th and h % th == 0) else _enc_tile(
+                h, wl, 6 * _ceil16(4 * c_in), 9 * _ceil16(2 * c))
+            xp = nhwc_to_flat(x.reshape(b, h_in, w_in // 4, 4 * c_in))
+            (out,) = conv_group(
+                [xp], ws, bs, specs, h, wl,
+                th=tt, w_img=wl, in_strides=(2,), interpret=interpret)
+            chain_flat = out  # [B, 2c, h*wl] — level 1's s2 input as-is
+            feats.append(out)
+            # NHWC handle for shape bookkeeping of the next iteration
+            x = jax.ShapeDtypeStruct((b, h, w, c), out.dtype)
+            continue
         if pack is not None:
             ws = [[cb0["kernel"]], [cb1["kernel"]], [cb2["kernel"]]]
             bs = [cb0["bias"], cb1["bias"], cb2["bias"]]
@@ -147,7 +182,11 @@ def _encoder_fused(params, x, th=None, interpret=False):
             ]
             tt = th if (th and h % th == 0) else _enc_tile(
                 h, w * pack, 6 * _ceil16(2 * c_in), 9 * _ceil16(c))
-            xp = nhwc_to_flat(x.reshape(b, h_in, w, 2 * c_in))
+            if lvl == 1 and chain_flat is not None:
+                xp = chain_flat  # already W-pair packed flat
+                chain_flat = None
+            else:
+                xp = nhwc_to_flat(x.reshape(b, h_in, w, 2 * c_in))
             if pack > 1:
                 xp = pack_lanes(xp, h_in, w, pack)
             (out,) = conv_group(

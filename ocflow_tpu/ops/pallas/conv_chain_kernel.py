@@ -86,6 +86,14 @@ class ConvSpec:
     # throughout — no per-lane gathers, no phase splits (the measured dead
     # end of the parity-phase formulation, PERF.md).
     stride: int = 1
+    # W-packed data domain (im2col modes only): this conv's OUTPUT holds
+    # ``pack`` image columns per lane as channel groups (``cout`` must be
+    # pack * the conv's real Cout); a stride-2 pack conv consumes a
+    # ``2*pack``-group input. Purely a WEIGHT-layout feature — the kernel
+    # rhs builds are pack-agnostic (full-group blocks + lane rolls). Used
+    # for the encoder's level-0 chain, whose output no pyramid consumer
+    # ever reads unpacked (PERF.md round-5 "packed level-0").
+    pack: int = 1
 
 
 def _pack_weights(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax.Array:
@@ -127,6 +135,68 @@ def _pack_weights_im2col_s2(w_hwio: jax.Array, k_pad: int, cout_pad: int) -> jax
     z = z.at[:, 1, cin:2 * cin].set(w_hwio[:, 2])  #         hi = orig 2j+1
     z = jnp.transpose(z, (3, 0, 1, 2)).reshape(cout, 6 * k_pad)
     return jnp.pad(z, ((0, cout_pad - cout), (0, 0)))
+
+
+def _pack_weights_im2col_s2p(
+    w_hwio: jax.Array, k_pad: int, cout_pad: int, pack: int
+) -> jax.Array:
+    """Stride-2 weights for a W-PACKED-OUTPUT conv: input ``2*pack``-group
+    W-packed (group g of lane w' = orig col ``2*pack*w' + g``, channels
+    ``g*Cin + ci``), output ``pack``-group packed (rows ``p*Cout + co`` =
+    orig output col ``pack*w' + p``).
+
+    Output phase p, kernel tap dx reads orig col ``2*(pack*w'+p)+dx-1`` =
+    input group ``g = 2p+dx-1``: g == -1 comes from the ROLLED-RIGHT rhs
+    block's last group (lane w'-1), every other g from the PLAIN block —
+    the exact 2-blocks-per-dy rhs the kernel's stride-2 branch already
+    builds, so packed output needs NO kernel change, only these weights.
+    ``pack=1`` reduces to :func:`_pack_weights_im2col_s2`. The point of
+    pack>1: pixels move from the GEMM's streaming dim M into otherwise
+    idle MXU output rows — M halves at equal K for small-Cout convs
+    (encoder level 0, PERF.md round-5 "packed level-0")."""
+    kh, kw, cin, cout = w_hwio.shape
+    p_in = 2 * pack
+    assert kh == 3 and kw == 3 and p_in * cin <= k_pad
+    # block dxp=0 = rolled-right (lane w'-1), dxp=1 = plain (kernel layout)
+    z = jnp.zeros((3, 2, k_pad, pack * cout), w_hwio.dtype)
+    for p in range(pack):
+        for dx in range(3):
+            g = 2 * p + dx - 1
+            blk, src = (0, p_in - 1) if g == -1 else (1, g)
+            z = z.at[:, blk, src * cin:(src + 1) * cin,
+                     p * cout:(p + 1) * cout].set(w_hwio[:, dx])
+    z = jnp.transpose(z, (3, 0, 1, 2)).reshape(pack * cout, 6 * k_pad)
+    return jnp.pad(z, ((0, cout_pad - pack * cout), (0, 0)))
+
+
+def _pack_weights_im2col_packed(
+    w_hwio: jax.Array, k_pad: int, cout_pad: int, pack: int
+) -> jax.Array:
+    """Stride-1 im2col weights on ``pack``-group W-packed data (both input
+    and output packed the same way; input block channels ``g*Cin + ci``).
+
+    Output phase p, tap dx reads orig col ``pack*w' + p + dx - 1``: group
+    ``q = p+dx-1`` — q == -1 from the lane-rolled dxi=0 block's LAST group,
+    q == pack from the dxi=2 block's group 0, interior q from the plain
+    dxi=1 block. All three rhs blocks are what the kernel's im2col branch
+    already builds (full-group lane rolls ±1); only the weight layout
+    changes. ``pack=1`` reduces to :func:`_pack_weights_im2col`."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3 and pack * cin <= k_pad
+    z = jnp.zeros((3, 3, k_pad, pack * cout), w_hwio.dtype)
+    for p in range(pack):
+        for dx in range(3):
+            q = p + dx - 1
+            if q < 0:
+                dxi, src = 0, pack - 1
+            elif q >= pack:
+                dxi, src = 2, 0
+            else:
+                dxi, src = 1, q
+            z = z.at[:, dxi, src * cin:(src + 1) * cin,
+                     p * cout:(p + 1) * cout].set(w_hwio[:, dx])
+    z = jnp.transpose(z, (3, 0, 1, 2)).reshape(pack * cout, 9 * k_pad)
+    return jnp.pad(z, ((0, cout_pad - pack * cout), (0, 0)))
 
 
 def _is_contig(reads: tuple[int, ...]) -> bool:
@@ -438,14 +508,27 @@ def conv_group(
     packed_w = []
     for j, s in enumerate(specs):
         cp = block_ch[n_inputs + j]
+        if s.pack > 1:
+            assert s.im2col and s.dilation == 1, (
+                "pack>1 needs im2col mode with dilation 1")
         if s.stride == 2:
-            packed_w.append(_pack_weights_im2col_s2(
-                weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
+            if s.pack > 1:
+                packed_w.append(_pack_weights_im2col_s2p(
+                    weights[j][0], block_ch[s.reads[0]], cp,
+                    s.pack).astype(dtype))
+            else:
+                packed_w.append(_pack_weights_im2col_s2(
+                    weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
             continue
         if s.im2col:
             assert len(s.reads) == 1, "im2col supports single-read convs"
-            packed_w.append(_pack_weights_im2col(
-                weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
+            if s.pack > 1:
+                packed_w.append(_pack_weights_im2col_packed(
+                    weights[j][0], block_ch[s.reads[0]], cp,
+                    s.pack).astype(dtype))
+            else:
+                packed_w.append(_pack_weights_im2col(
+                    weights[j][0], block_ch[s.reads[0]], cp).astype(dtype))
             continue
         per_block = [
             _pack_weights(weights[j][r], block_ch[bid], cp).astype(dtype)

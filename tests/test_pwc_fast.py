@@ -223,7 +223,14 @@ def test_encoder_fused_matches_xla():
     ref = _encoder(p, x)
     got = _encoder_fused(p, x, interpret=True)
     assert len(ref) == len(got) == 6
-    for r, g in zip(ref, got):
+    # level 0 is the W-packed flat sentinel [2B, 2c, h*(w/2)] (channel
+    # group p = output col 2w'+p) — unpack it for the comparison, which
+    # also goldens the packed layout itself
+    b2, h0, w0, c0 = ref[0].shape
+    g0 = flat_to_nhwc(got[0], h0, w0 // 2, 2 * c0)
+    g0 = g0.reshape(b2, h0, w0 // 2, 2, c0).reshape(b2, h0, w0, c0)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(ref[0]), atol=2e-4)
+    for r, g in zip(ref[1:], got[1:]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4)
 
 
