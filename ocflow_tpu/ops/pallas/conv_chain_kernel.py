@@ -176,26 +176,36 @@ def _pack_weights_im2col_packed(
     and output packed the same way; input block channels ``g*Cin + ci``).
 
     Output phase p, tap dx reads orig col ``pack*w' + p + dx - 1``: group
-    ``q = p+dx-1`` — q == -1 from the lane-rolled dxi=0 block's LAST group,
-    q == pack from the dxi=2 block's group 0, interior q from the plain
-    dxi=1 block. All three rhs blocks are what the kernel's im2col branch
-    already builds (full-group lane rolls ±1); only the weight layout
-    changes. ``pack=1`` reduces to :func:`_pack_weights_im2col`."""
+    ``q = p+dx-1`` — interior q from the PLAIN block, q == -1 from the
+    lane-rolled-RIGHT copy of the last group only, q == pack from the
+    rolled-LEFT copy of group 0 only. The kernel builds the matching LEAN
+    rhs (per dy: plain ``cb`` rows + two ``cb/pack``-row rolled stubs), so
+    K = 3*(pack+2)*Cin instead of the naive 9*pack*Cin — one fewer MXU
+    pass for the packed encoder pairs (K 288 -> 192 at pack 2, Cin 16).
+    Column block layout per dy (width ``kdy = (pack+2)*k_grp``):
+    ``[plain pack*k_grp | rr k_grp | rl k_grp]`` with ``k_grp = k_pad/pack``.
+    """
     kh, kw, cin, cout = w_hwio.shape
-    assert kh == 3 and kw == 3 and pack * cin <= k_pad
-    z = jnp.zeros((3, 3, k_pad, pack * cout), w_hwio.dtype)
+    assert kh == 3 and kw == 3
+    # group slots inside a packed block sit at REAL-cin stride (the
+    # producing conv emits rows p*cout+co contiguously); the kernel's lean
+    # stub slices need 16-row alignment
+    assert pack * cin == k_pad and cin % 16 == 0, (
+        "lean packed rhs needs 16-aligned cin groups filling the block")
+    kdy = (pack + 2) * cin
+    z = jnp.zeros((3, kdy, pack * cout), w_hwio.dtype)
     for p in range(pack):
         for dx in range(3):
             q = p + dx - 1
             if q < 0:
-                dxi, src = 0, pack - 1
+                off = pack * cin  # rr stub (last group, lane w'-1)
             elif q >= pack:
-                dxi, src = 2, 0
+                off = (pack + 1) * cin  # rl stub (group 0, lane w'+1)
             else:
-                dxi, src = 1, q
-            z = z.at[:, dxi, src * cin:(src + 1) * cin,
+                off = q * cin
+            z = z.at[:, off:off + cin,
                      p * cout:(p + 1) * cout].set(w_hwio[:, dx])
-    z = jnp.transpose(z, (3, 0, 1, 2)).reshape(pack * cout, 9 * k_pad)
+    z = jnp.transpose(z, (2, 0, 1)).reshape(pack * cout, 3 * kdy)
     return jnp.pad(z, ((0, cout_pad - pack * cout), (0, 0)))
 
 
@@ -333,7 +343,43 @@ def _kernel_body(*refs, specs, n_inputs, th, halo, w_lanes, w_img,
                     accs[:, 2 * r * w_lanes:(2 * r + 1) * w_lanes])
             _zero_halo(oj, cout_pad, 0)
             continue
-        if spec.im2col:
+        if spec.im2col and spec.pack > 1:
+            # LEAN packed rhs (see _pack_weights_im2col_packed): per dy the
+            # plain block plus two one-group rolled stubs — K = 3*(pack+2)*
+            # cin instead of 9*pack*cin (one fewer MXU pass at pack 2)
+            bid = spec.reads[0]
+            cb = offs[bid + 1] - offs[bid]
+            cinr = cb // spec.pack
+            kdy = (spec.pack + 2) * cinr
+            colr = jax.lax.broadcasted_iota(jnp.int32, (cinr, m), 1) % w_img
+            rdt = rhs_ref.dtype
+            for dyi in range(3):
+                row0 = v + (dyi - 1)  # pack>1 implies dilation 1
+                base = dyi * kdy
+                rows = S[pl.ds(offs[bid], cb), pl.ds(row0 * w_lanes, m)]
+                rhs_ref[pl.ds(base, cb), pl.ds(0, m)] = rows
+                last = S[pl.ds(offs[bid] + cb - cinr, cinr),
+                         pl.ds(row0 * w_lanes, m)]
+                rr = jnp.where(
+                    colr >= 1,
+                    pltpu.roll(last.astype(jnp.float32), shift=1, axis=1),
+                    0.0,
+                ).astype(rdt)
+                rhs_ref[pl.ds(base + cb, cinr), pl.ds(0, m)] = rr
+                first = S[pl.ds(offs[bid], cinr), pl.ds(row0 * w_lanes, m)]
+                rl = jnp.where(
+                    colr < w_img - 1,
+                    pltpu.roll(first.astype(jnp.float32), shift=m - 1,
+                               axis=1),
+                    0.0,
+                ).astype(rdt)
+                rhs_ref[pl.ds(base + cb + cinr, cinr), pl.ds(0, m)] = rl
+            acc = jax.lax.dot_general(
+                my_w[0][:, :], rhs_ref[pl.ds(0, 3 * kdy), pl.ds(0, m)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        elif spec.im2col:
             # one GEMM with K = 9*Cin: rhs built from 9 shifted masked
             # copies of the (single) input block
             bid = spec.reads[0]
